@@ -1,0 +1,8 @@
+"""k-diffusion-tpu: a TPU-native (JAX/XLA/Pallas) diffusion framework with the
+capability surface of crowsonkb/k-diffusion (Karras et al. 2022, EDM)."""
+
+from . import denoiser, external, ode, sampling, utils
+from .denoiser import Denoiser, DenoiserWithVariance, SimpleLossDenoiser
+from .ode import log_likelihood
+
+__version__ = "0.1.0"

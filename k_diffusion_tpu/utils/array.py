@@ -1,0 +1,61 @@
+"""Array helpers: dimension padding, DCT, frequency weights.
+
+Behavior parity: reference utils.py:43-48 (append_dims), layers.py:16-39
+(dct / freq weights). The DCT here is the orthonormal DCT-II from
+``jax.scipy.fft`` instead of the dctorch CUDA path.
+"""
+
+import math
+from functools import reduce
+
+import jax
+import jax.numpy as jnp
+
+
+def append_dims(x, target_dims):
+    """Appends singleton dims to the end of an array until it has ``target_dims`` dims."""
+    dims_to_append = target_dims - x.ndim
+    if dims_to_append < 0:
+        raise ValueError(
+            f"input has {x.ndim} dims but target_dims is {target_dims}, which is less"
+        )
+    return x[(...,) + (None,) * dims_to_append]
+
+
+def n_params(params) -> int:
+    """Number of scalar parameters in a pytree."""
+    return sum(p.size for p in jax.tree_util.tree_leaves(params))
+
+
+def dct(x, axes):
+    """Orthonormal DCT-II over the given axes."""
+    for axis in axes:
+        x = jax.scipy.fft.dct(x, type=2, axis=axis, norm="ortho")
+    return x
+
+
+def idct(x, axes):
+    """Orthonormal inverse DCT (DCT-III) over the given axes."""
+    for axis in axes:
+        x = jax.scipy.fft.idct(x, type=2, axis=axis, norm="ortho")
+    return x
+
+
+def freq_weight_1d(n, scales=0, dtype=jnp.float32):
+    """Per-frequency loss weights for one axis (reference layers.py:26-32)."""
+    ramp = jnp.linspace(0.5 / n, 0.5, n, dtype=dtype)
+    weights = -jnp.log2(ramp)
+    if scales >= 1:
+        weights = jnp.minimum(weights, float(scales))
+    return weights
+
+
+def freq_weight_nd(shape, scales=0, dtype=jnp.float32):
+    """N-dimensional frequency weights: elementwise min over per-axis 1-D weights
+    broadcast along the other axes (reference layers.py:35-39)."""
+    indexers = [
+        tuple(slice(None) if i == j else None for j in range(len(shape)))
+        for i in range(len(shape))
+    ]
+    weights = [freq_weight_1d(n, scales, dtype)[ix] for n, ix in zip(shape, indexers)]
+    return reduce(jnp.minimum, weights)
