@@ -1,0 +1,170 @@
+"""Training infrastructure: optimizer factory, train state, and the jitted
+data-parallel train step.
+
+TPU-native re-design of the reference's train loop body (train.py:434-519):
+the whole step — class-cond dropout, stratified sigma sampling, noising,
+loss, gradient (with microbatch accumulation as a lax.scan), global-norm
+clip, optimizer update, and EMA — is ONE pure jitted function over a device
+mesh. Gradient averaging across devices is inserted by XLA from the batch
+sharding (replacing DDP bucketed all-reduce, train.py:241,459); loss
+reporting is a global mean (replacing accelerator.gather().mean(),
+train.py:457); stratified sigma strata are assigned globally across
+(accum step x global batch index), subsuming the reference's rank x accum
+stratification (utils.py:296-320, train.py:453-454).
+"""
+
+from typing import Any
+
+import flax.struct
+import jax
+import jax.numpy as jnp
+import optax
+
+from . import config as config_mod
+from .utils import ema_update
+
+
+class TrainState(flax.struct.PyTreeNode):
+    step: Any
+    params: Any
+    opt_state: Any
+    ema_params: Any
+
+
+def make_optimizer(config, param_labels, mapping_lr_scale=1 / 3, max_grad_norm=1.0):
+    """Builds the 4-group optimizer {wd, no_wd} x {base lr, mapping lr}
+    (reference image_transformer_v2.py:708-719, train.py:153-175) with
+    global-norm clipping fused into the update (train.py:464)."""
+    opt_config = config["optimizer"]
+    lr_sched = config_mod.make_lr_schedule(config)
+
+    def group(lr_scale, weight_decay):
+        sched = lambda step: lr_sched(step) * lr_scale
+        if opt_config["type"] == "adamw":
+            return optax.adamw(
+                sched, b1=opt_config["betas"][0], b2=opt_config["betas"][1],
+                eps=opt_config["eps"], weight_decay=weight_decay)
+        if opt_config["type"] == "sgd":
+            tx = optax.sgd(sched, momentum=opt_config.get("momentum", 0.0),
+                           nesterov=opt_config.get("nesterov", False))
+            if weight_decay:
+                tx = optax.chain(optax.add_decayed_weights(weight_decay), tx)
+            return tx
+        raise ValueError("Invalid optimizer type")
+
+    wd = opt_config["weight_decay"]
+    transforms = {
+        "wd": group(1.0, wd),
+        "no_wd": group(1.0, 0.0),
+        "mapping_wd": group(mapping_lr_scale, wd),
+        "mapping_no_wd": group(mapping_lr_scale, 0.0),
+    }
+    tx = optax.multi_transform(transforms, param_labels)
+    if max_grad_norm is not None:
+        tx = optax.chain(optax.clip_by_global_norm(max_grad_norm), tx)
+    return tx
+
+
+def _global_sq_norm(tree):
+    return sum(jnp.sum(jnp.square(g.astype(jnp.float32)))
+               for g in jax.tree_util.tree_leaves(tree))
+
+
+def make_train_step(model, denoiser_factory, sample_density, optimizer, *,
+                    num_classes=0, cond_dropout_rate=0.0, stratified=True,
+                    compute_gns=False, has_mapping_cond=False):
+    """Returns ``step(state, batch, key, ema_decay) -> (state, metrics)``,
+    jitted with the state donated (in-place on-device update).
+
+    ``batch`` is a dict with leading dims [accum, global_batch]:
+      reals (A, B, H, W, C); optional class_cond (A, B) int;
+      optional aug_cond (A, B, 9); optional mapping_cond (A, B, D).
+    """
+
+    def microbatch_loss(params, mb, sigma, key):
+        k_noise, k_drop, k_dropout = jax.random.split(key, 3)
+        reals = mb["reals"]
+        extra = {}
+        if "class_cond" in mb:
+            cls = mb["class_cond"]
+            if cond_dropout_rate > 0:
+                drop = jax.random.uniform(k_drop, cls.shape) < cond_dropout_rate
+                cls = jnp.where(drop, jnp.full_like(cls, num_classes), cls)
+            extra["class_cond"] = cls
+        if "aug_cond" in mb:
+            extra["aug_cond"] = mb["aug_cond"]
+        if has_mapping_cond and "mapping_cond" in mb:
+            extra["mapping_cond"] = mb["mapping_cond"]
+
+        def inner(x, sig, **kwargs):
+            return model.apply({"params": params}, x, sig, train=True,
+                               rngs={"dropout": k_dropout}, **kwargs)
+
+        den = denoiser_factory(inner)
+        noise = jax.random.normal(k_noise, reals.shape, reals.dtype)
+        losses = den.loss(reals, noise, sigma, **extra)
+        return jnp.mean(losses)
+
+    def step_fn(state, batch, key, ema_decay):
+        a_steps = batch["reals"].shape[0]
+        b = batch["reals"].shape[1]
+
+        k_sigma, k_loop = jax.random.split(key)
+        sigma_flat = sample_density(
+            k_sigma, (a_steps * b,), stratified=(0, 1) if stratified else None)
+        sigmas = sigma_flat.reshape(a_steps, b)
+
+        def accum_body(carry, inp):
+            grads_acc, loss_acc, sqn_acc = carry
+            mb, sigma, idx = inp
+            k = jax.random.fold_in(k_loop, idx)
+            loss, grads = jax.value_and_grad(microbatch_loss)(
+                state.params, mb, sigma, k)
+            grads_acc = jax.tree_util.tree_map(jnp.add, grads_acc, grads)
+            sqn = _global_sq_norm(grads) if compute_gns else jnp.float32(0)
+            return (grads_acc, loss_acc + loss, sqn_acc + sqn), None
+
+        zeros = jax.tree_util.tree_map(
+            lambda p: jnp.zeros(p.shape, jnp.float32), state.params)
+        (grads, loss, sqn_small), _ = jax.lax.scan(
+            accum_body, (zeros, jnp.float32(0), jnp.float32(0)),
+            (batch, sigmas, jnp.arange(a_steps)))
+        grads = jax.tree_util.tree_map(lambda g: g / a_steps, grads)
+        loss = loss / a_steps
+        metrics = {"loss": loss}
+        if compute_gns:
+            metrics["grad_sq_norm_small"] = sqn_small / a_steps
+            metrics["grad_sq_norm_big"] = _global_sq_norm(grads)
+
+        updates, opt_state = optimizer.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        ema_params = ema_update(params, state.ema_params, ema_decay)
+        new_state = TrainState(
+            step=state.step + 1, params=params, opt_state=opt_state,
+            ema_params=ema_params)
+        return new_state, metrics
+
+    return jax.jit(step_fn, donate_argnums=(0,))
+
+
+def init_train_state(model, optimizer, key, example_batch, **model_kwargs):
+    """Initializes params/opt/EMA. ``example_batch`` is a dict like the train
+    batch without the accum dim."""
+    reals = example_batch["reals"]
+    sigma = jnp.ones([reals.shape[0]], reals.dtype)
+    kwargs = {}
+    if "class_cond" in example_batch:
+        kwargs["class_cond"] = example_batch["class_cond"]
+    if "aug_cond" in example_batch:
+        kwargs["aug_cond"] = example_batch["aug_cond"]
+    if "mapping_cond" in example_batch:
+        kwargs["mapping_cond"] = example_batch["mapping_cond"]
+    kwargs.update(model_kwargs)
+    variables = model.init(key, reals, sigma, **kwargs)
+    params = variables["params"]
+    opt_state = optimizer.init(params)
+    # distinct buffers for the EMA copy: params and ema_params must not alias
+    # (the train step donates the whole state)
+    ema_params = jax.tree_util.tree_map(jnp.copy, params)
+    return TrainState(step=jnp.int32(0), params=params, opt_state=opt_state,
+                      ema_params=ema_params)
