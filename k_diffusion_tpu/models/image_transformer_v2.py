@@ -140,13 +140,15 @@ class SelfAttentionBlock(nn.Module):
         k = ops.apply_rotary_emb(k, theta)
 
         if isinstance(self.attn_spec, GlobalAttentionSpec):
+            from ..ops.pallas import flash_attention
             qs = q.reshape(b, h * w, n_heads, self.d_head)
             ks = k.reshape(b, h * w, n_heads, self.d_head)
             vs = v.reshape(b, h * w, n_heads, self.d_head)
-            out = ops.global_attention(qs, ks, vs, scale=1.0)
+            out = flash_attention(qs, ks, vs, scale=1.0)
             x = out.reshape(b, h, w, n_heads * self.d_head)
         elif isinstance(self.attn_spec, NeighborhoodAttentionSpec):
-            out = ops.neighborhood_attention(q, k, v, self.attn_spec.kernel_size, scale=1.0)
+            from ..ops.pallas import na2d
+            out = na2d(q, k, v, self.attn_spec.kernel_size, scale=1.0)
             x = out.reshape(b, h, w, n_heads * self.d_head)
         elif isinstance(self.attn_spec, ShiftedWindowAttentionSpec):
             # layers alternate unshifted/shifted (reference :520-524)

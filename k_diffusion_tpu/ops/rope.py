@@ -88,3 +88,38 @@ def downscale_pos(pos):
     h, w, e = pos.shape
     pos = pos.reshape(h // 2, 2, w // 2, 2, e)
     return pos.mean(axis=(1, 3))
+
+
+def rotate_half_interleaved(x):
+    """v1-style rotate-half on interleaved pairs (reference
+    models/axial_rope.py:13-17)."""
+    x1 = x[..., 0::2]
+    x2 = x[..., 1::2]
+    y = jnp.stack([-x2, x1], axis=-1)
+    return y.reshape(x.shape)
+
+
+def apply_rotary_emb_interleaved(freqs, t, start_index=0, scale=1.0):
+    """v1-style RoPE: t*cos + rotate_half(t)*sin on interleaved pairs
+    (reference models/axial_rope.py:20-28)."""
+    freqs = freqs.astype(t.dtype)
+    rot_dim = freqs.shape[-1]
+    end_index = start_index + rot_dim
+    assert rot_dim <= t.shape[-1]
+    t_left = t[..., :start_index]
+    t_mid = t[..., start_index:end_index]
+    t_right = t[..., end_index:]
+    t_mid = (t_mid * jnp.cos(freqs) * scale
+             + rotate_half_interleaved(t_mid) * jnp.sin(freqs) * scale)
+    return jnp.concatenate([t_left, t_mid, t_right], axis=-1)
+
+
+def freqs_pixel_log_init(max_freq=10.0):
+    """Log-spaced per-head frequency init for the learned v1 AxialRoPE
+    (reference models/axial_rope.py:78-83)."""
+    def init(key, shape, dtype=jnp.float32):
+        log_min = math.log(math.pi)
+        log_max = math.log(max_freq * math.pi / 2)
+        freqs = jnp.linspace(log_min, log_max, shape[-1], dtype=dtype)
+        return jnp.broadcast_to(freqs, shape)
+    return init
