@@ -1,7 +1,9 @@
 """k-diffusion-tpu: a TPU-native (JAX/XLA/Pallas) diffusion framework with the
 capability surface of crowsonkb/k-diffusion (Karras et al. 2022, EDM)."""
 
-from . import denoiser, external, ode, sampling, utils
+from . import (augmentation, checkpoint, config, data, denoiser, evaluation,
+               external, gns, layers, models, ode, ops, parallel, sampling,
+               training, utils)
 from .denoiser import Denoiser, DenoiserWithVariance, SimpleLossDenoiser
 from .ode import log_likelihood
 

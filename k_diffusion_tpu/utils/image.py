@@ -25,3 +25,19 @@ def to_pil_image(x):
         x = x[..., 0]
     x = (np.clip(x, -1, 1) + 1) / 2
     return Image.fromarray((x * 255).round().astype(np.uint8))
+
+
+def make_grid(x, nrow=8, padding=0, pad_value=0.0):
+    """Assembles a (N, H, W, C) batch into one (H', W', C) grid image
+    (torchvision make_grid equivalent used at reference train.py:366,
+    make_grid.py:12-46)."""
+    x = np.asarray(x)
+    n, h, w, c = x.shape
+    ncol = (n + nrow - 1) // nrow
+    grid = np.full((ncol * (h + padding) - padding,
+                    nrow * (w + padding) - padding, c), pad_value, x.dtype)
+    for i in range(n):
+        r, col = divmod(i, nrow)
+        grid[r * (h + padding):r * (h + padding) + h,
+             col * (w + padding):col * (w + padding) + w] = x[i]
+    return grid

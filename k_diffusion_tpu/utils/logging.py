@@ -6,6 +6,7 @@ from pathlib import Path
 class CSVLogger:
     def __init__(self, filename, columns):
         self.filename = Path(filename)
+        self.filename.parent.mkdir(parents=True, exist_ok=True)
         self.columns = columns
         if self.filename.exists():
             self.file = open(self.filename, "a")

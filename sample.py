@@ -1,0 +1,91 @@
+#!/usr/bin/env python3
+"""Samples from k-diffusion-tpu models (reference sample.py)."""
+
+import argparse
+import math
+import os
+from pathlib import Path
+
+import jax
+
+if os.environ.get("KDT_PLATFORM"):
+    jax.config.update("jax_platforms", os.environ["KDT_PLATFORM"])
+jax.config.update("jax_compilation_cache_dir",
+                  str(Path.home() / ".cache" / "jax_comp_cache"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
+
+import jax.numpy as jnp
+
+import k_diffusion_tpu as K
+
+
+def main():
+    p = argparse.ArgumentParser(description=__doc__,
+                                formatter_class=argparse.ArgumentDefaultsHelpFormatter)
+    p.add_argument("--batch-size", type=int, default=64, help="the batch size")
+    p.add_argument("--checkpoint", type=Path, required=True,
+                   help="the (safetensors inference) checkpoint to use")
+    p.add_argument("--config", type=Path, help="the model config")
+    p.add_argument("-n", type=int, default=64,
+                   help="the number of images to sample")
+    p.add_argument("--prefix", type=str, default="out", help="the output prefix")
+    p.add_argument("--sampler", type=str, default="lms",
+                   help="the sampler (lms like the reference, or dpmpp_2m, "
+                        "dpmpp_2m_sde, euler, heun, ...)")
+    p.add_argument("--steps", type=int, default=50,
+                   help="the number of denoising steps")
+    p.add_argument("--seed", type=int, default=0, help="the random seed")
+    args = p.parse_args()
+
+    config = K.config.load_config(args.config if args.config else args.checkpoint)
+    model_config = config["model"]
+    assert len(model_config["input_size"]) == 2 \
+        and model_config["input_size"][0] == model_config["input_size"][1]
+    size = model_config["input_size"]
+
+    model = K.config.make_model(config, dtype=jnp.bfloat16)
+    params, _ = K.checkpoint.load_inference(args.checkpoint)
+    print("Parameters:", f"{K.utils.n_params(params):,}")
+    denoiser = K.Denoiser(
+        lambda x, s, **kw: model.apply({"params": params}, x, s, **kw),
+        sigma_data=model_config["sigma_data"])
+
+    sigma_min, sigma_max = model_config["sigma_min"], model_config["sigma_max"]
+    sigmas = K.sampling.get_sigmas_karras(args.steps, sigma_min, sigma_max, rho=7.0)
+
+    print("Sampling...")
+    key = jax.random.PRNGKey(args.seed)
+    num_classes = config["dataset"].get("num_classes", 0)
+
+    def sample_fn(n):
+        nonlocal key
+        key, k_noise, k_cls, k_samp = jax.random.split(key, 4)
+        x = jax.random.normal(
+            k_noise, [args.batch_size, size[0], size[1],
+                      model_config["input_channels"]]) * sigma_max
+        extra = {}
+        if num_classes:
+            # class-conditional model: sample random classes (the reference
+            # sample.py predates class-conditional checkpoints)
+            extra["class_cond"] = jax.random.randint(
+                k_cls, [args.batch_size], 0, num_classes)
+        if args.sampler == "lms":
+            x_0 = K.sampling.sample_lms(denoiser, x, sigmas, extra_args=extra)
+        else:
+            sampler = getattr(K.sampling, f"sample_{args.sampler}")
+            try:
+                x_0 = sampler(denoiser, x, sigmas, extra_args=extra, key=k_samp)
+            except TypeError:
+                x_0 = sampler(denoiser, x, sigmas, extra_args=extra)
+        return x_0[:n]
+
+    x_0 = K.evaluation.compute_features(sample_fn, lambda x: x, args.n,
+                                        args.batch_size)
+    for i, out in enumerate(x_0):
+        filename = f"{args.prefix}_{i:05}.png"
+        K.utils.to_pil_image(out).save(filename)
+    print(f"Wrote {len(x_0)} images to {args.prefix}_*.png")
+
+
+if __name__ == "__main__":
+    main()

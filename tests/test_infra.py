@@ -1,0 +1,206 @@
+"""Infrastructure tests: data pipeline, checkpointing, metrics, train step,
+guidance wrappers (SURVEY.md §4 golden/integration tier)."""
+
+import json
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from k_diffusion_tpu import (checkpoint, config as config_mod, data,
+                             evaluation, guidance, training)
+
+TINY_CONFIG = {
+    "model": {
+        "type": "image_transformer_v2",
+        "input_channels": 3,
+        "input_size": [16, 16],
+        "patch_size": [4, 4],
+        "depths": [1],
+        "widths": [32],
+        "self_attns": [{"type": "global", "d_head": 16}],
+        "loss_weighting": "soft-min-snr",
+        "sigma_data": 0.5,
+        "sigma_min": 1e-2,
+        "sigma_max": 80,
+        "sigma_sample_density": {"type": "cosine-interpolated"},
+    },
+    "dataset": {"type": "synthetic", "num_classes": 4},
+}
+
+
+def test_synthetic_dataset_and_loader():
+    ds = data.SyntheticDataset(size=16, channels=3, num_classes=4, length=50)
+    assert len(ds) == 50
+    item = ds[0]
+    assert item["image"].shape == (16, 16, 3)
+    assert 0 <= item["class"] < 4
+    # determinism
+    np.testing.assert_array_equal(ds[7]["image"], ds[7]["image"])
+
+    dl = data.DataLoader(ds, batch_size=8, num_workers=2, seed=0)
+    batches = list(dl)
+    assert len(batches) == 6  # 50 // 8, drop_last
+    for b in batches:
+        assert b["image"].shape == (8, 16, 16, 3)
+        assert b["class"].shape == (8,)
+    # next epoch reshuffles
+    batches2 = list(dl)
+    assert not np.array_equal(batches[0]["image"], batches2[0]["image"])
+
+
+def test_mnist_idx_parser(tmp_path):
+    import struct
+    # write a tiny synthetic IDX pair
+    imgs = np.random.randint(0, 255, (5, 28, 28), dtype=np.uint8)
+    labels = np.arange(5, dtype=np.uint8)
+    with open(tmp_path / "train-images-idx3-ubyte", "wb") as f:
+        f.write(struct.pack(">HBB", 0, 8, 3))
+        f.write(struct.pack(">3I", 5, 28, 28))
+        f.write(imgs.tobytes())
+    with open(tmp_path / "train-labels-idx1-ubyte", "wb") as f:
+        f.write(struct.pack(">HBB", 0, 8, 1))
+        f.write(struct.pack(">I", 5))
+        f.write(labels.tobytes())
+    ds = data.MNISTDataset(tmp_path)
+    assert len(ds) == 5
+    item = ds[3]
+    assert item["image"].shape == (28, 28, 1)
+    assert item["class"] == 3
+    np.testing.assert_allclose(item["image"][..., 0], imgs[3] / 255.0, atol=1e-6)
+
+
+def _tiny_state():
+    cfg = config_mod.load_config(TINY_CONFIG)
+    model = config_mod.make_model(cfg)
+    key = jax.random.PRNGKey(0)
+    v = model.init(key, jnp.zeros([1, 16, 16, 3]), jnp.ones([1]),
+                   class_cond=jnp.zeros([1], jnp.int32))
+    from k_diffusion_tpu.models import image_transformer_v2 as itv2
+    labels = itv2.param_group_labels(v["params"])
+    opt = training.make_optimizer(cfg, labels)
+    state = training.init_train_state(
+        model, opt, key,
+        {"reals": jnp.zeros([2, 16, 16, 3]),
+         "class_cond": jnp.zeros([2], jnp.int32)})
+    return cfg, model, opt, state
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    cfg, model, opt, state = _tiny_state()
+    host = {"step": 7, "config": cfg, "ema_stats": {"loss": 0.5}}
+    path = checkpoint.save_checkpoint(tmp_path / "ck.ckpt", state, host)
+    state2, host2 = checkpoint.load_checkpoint(path, state)
+    assert host2["step"] == 7
+    assert host2["ema_stats"]["loss"] == 0.5
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_array_equal(np.asarray(a), np.asarray(b)),
+        state.params, state2.params)
+    # state json sidecar
+    import os
+    os.chdir(tmp_path)
+    checkpoint.write_state_json("run", path)
+    assert checkpoint.latest_checkpoint("run") == str(path)
+
+
+def test_inference_export_roundtrip(tmp_path):
+    cfg, model, opt, state = _tiny_state()
+    path = checkpoint.save_inference(tmp_path / "slim.safetensors",
+                                     state.ema_params, cfg)
+    params, cfg2 = checkpoint.load_inference(path)
+    assert cfg2["model"]["type"] == "image_transformer_v2"
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_array_equal(np.asarray(a), np.asarray(b)),
+        state.ema_params, params)
+    # config loadable directly from safetensors metadata
+    cfg3 = config_mod.load_config(path)
+    assert cfg3["model"]["widths"] == [32]
+
+
+def test_train_step_reduces_loss():
+    cfg, model, opt, state = _tiny_state()
+    density = config_mod.make_sample_density(cfg["model"])
+    den_factory = config_mod.make_denoiser_wrapper(cfg)
+    step = training.make_train_step(model, den_factory, density, opt,
+                                    num_classes=4, cond_dropout_rate=0.1,
+                                    compute_gns=True)
+    key = jax.random.PRNGKey(0)
+    reals = jax.random.uniform(key, (1, 16, 16, 16, 3)) * 2 - 1
+    batch = {"reals": reals,
+             "class_cond": jax.random.randint(key, (1, 16), 0, 4)}
+    losses = []
+    for i in range(30):
+        state, metrics = step(state, batch, jax.random.fold_in(key, i), 0.95)
+        losses.append(float(metrics["loss"]))
+    assert int(state.step) == 30
+    assert np.mean(losses[-5:]) < np.mean(losses[:5])
+    assert metrics["grad_sq_norm_small"] >= metrics["grad_sq_norm_big"] - 1e-6
+
+
+def test_fid_analytic():
+    key = jax.random.PRNGKey(0)
+    d = 8
+    x = jax.random.normal(key, (20000, d))
+    y = jax.random.normal(jax.random.fold_in(key, 1), (20000, d)) + 1.0
+    # identical distributions -> ~0
+    f_same = float(evaluation.fid(x, x[::-1]))
+    assert abs(f_same) < 0.05
+    # mean shift of 1 in every dim -> ~d
+    f_shift = float(evaluation.fid(x, y))
+    assert abs(f_shift - d) < 0.5
+
+
+def test_kid_analytic():
+    key = jax.random.PRNGKey(0)
+    x = jax.random.normal(key, (4000, 16))
+    y = jax.random.normal(jax.random.fold_in(key, 1), (4000, 16))
+    assert abs(float(evaluation.kid(x, y))) < 0.01
+    y2 = y * 2.0
+    assert float(evaluation.kid(x, y2)) > 0.1
+
+
+def test_sqrtm_eig():
+    key = jax.random.PRNGKey(0)
+    a = jax.random.normal(key, (6, 6))
+    psd = a @ a.T + jnp.eye(6)
+    r = evaluation.sqrtm_eig(psd)
+    np.testing.assert_allclose(np.asarray(r @ r), np.asarray(psd), atol=1e-3)
+
+
+def test_compute_features():
+    calls = []
+
+    def sample_fn(n):
+        calls.append(n)
+        return jnp.ones([8, 4])
+
+    feats = evaluation.compute_features(sample_fn, lambda x: x * 2, 20, 8)
+    assert feats.shape == (20, 4)
+    np.testing.assert_allclose(np.asarray(feats), 2.0)
+    assert calls == [8, 8, 4]
+
+
+def test_cfg_model_fn():
+    def model(x, sigma, class_cond=None):
+        # uncond (class==2) returns 0, cond returns 1
+        return jnp.where((class_cond == 2)[:, None], 0.0, 1.0) * jnp.ones_like(x)
+
+    fn = guidance.make_cfg_model_fn(model, cfg_scale=3.0, num_classes=2)
+    out = fn(jnp.zeros([2, 4]), jnp.ones([2]), class_cond=jnp.zeros([2], jnp.int32))
+    np.testing.assert_allclose(np.asarray(out), 3.0)  # 0 + (1-0)*3
+    # scale 1 returns the raw model
+    assert guidance.make_cfg_model_fn(model, 1.0, 2) is model
+
+
+def test_static_thresh_and_cond_fn():
+    base = lambda x, sigma: x * 10
+    thresh = guidance.make_static_thresh_model_fn(base)
+    out = thresh(jnp.ones([2, 3]), jnp.ones([2]))
+    np.testing.assert_allclose(np.asarray(out), 1.0)
+
+    cond = guidance.make_cond_model_fn(
+        lambda x, s: jnp.zeros_like(x),
+        lambda x, s, denoised: jnp.ones_like(x))
+    out = cond(jnp.zeros([2, 3]), jnp.full([2], 2.0))
+    np.testing.assert_allclose(np.asarray(out), 4.0)  # 0 + 1 * sigma^2

@@ -1,0 +1,429 @@
+#!/usr/bin/env python3
+"""Trains Karras et al. (2022) diffusion models on TPU.
+
+TPU-native counterpart of the reference train.py (525 LoC): one jitted
+data-parallel train step over a device mesh (gradient all-reduce inserted by
+XLA from the batch sharding) replaces Accelerate/DDP; augmentation runs
+batched on-device; checkpoints are flax-msgpack pytrees with a
+``{name}_state.json`` sidecar; demo grids use DPM++(2M) SDE exactly like the
+reference (train.py:346-369).
+"""
+
+import argparse
+import json
+import math
+import time
+from functools import partial
+from pathlib import Path
+
+import os
+
+import jax
+
+# jax may be pre-imported by a site hook, so env-var platform selection can
+# be too late; honor KDT_PLATFORM via config update instead.
+if os.environ.get("KDT_PLATFORM"):
+    jax.config.update("jax_platforms", os.environ["KDT_PLATFORM"])
+    if os.environ.get("KDT_NUM_CPU_DEVICES"):
+        jax.config.update("jax_num_cpu_devices", int(os.environ["KDT_NUM_CPU_DEVICES"]))
+jax.config.update("jax_compilation_cache_dir",
+                  str(Path.home() / ".cache" / "jax_comp_cache"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
+
+import jax.numpy as jnp
+import numpy as np
+
+import k_diffusion_tpu as K
+from k_diffusion_tpu import (augmentation, checkpoint, config as config_mod,
+                             data, gns as gns_mod, parallel, sampling, training)
+
+
+def main():
+    p = argparse.ArgumentParser(description=__doc__,
+                                formatter_class=argparse.ArgumentDefaultsHelpFormatter)
+    p.add_argument("--batch-size", type=int, default=64,
+                   help="the global batch size")
+    p.add_argument("--checkpointing", action="store_true",
+                   help="enable gradient checkpointing")
+    p.add_argument("--config", type=str, required=True,
+                   help="the configuration file")
+    p.add_argument("--demo-every", type=int, default=500,
+                   help="save a demo grid every this many steps")
+    p.add_argument("--end-step", type=int, default=None,
+                   help="the step to end training at")
+    p.add_argument("--evaluate-every", type=int, default=10000,
+                   help="evaluate every this many steps")
+    p.add_argument("--evaluate-n", type=int, default=2000,
+                   help="the number of samples to draw to evaluate")
+    p.add_argument("--evaluate-only", action="store_true",
+                   help="evaluate instead of training")
+    p.add_argument("--evaluate-with", type=str, default="inception",
+                   choices=["inception", "clip", "dinov2"],
+                   help="the feature extractor to use for evaluation")
+    p.add_argument("--gns", action="store_true",
+                   help="measure the gradient noise scale (disables stratified sampling)")
+    p.add_argument("--grad-accum-steps", type=int, default=1,
+                   help="the number of gradient accumulation steps")
+    p.add_argument("--lr", type=float, help="the learning rate")
+    p.add_argument("--mixed-precision", type=str, default="bf16",
+                   choices=["no", "bf16"], help="the compute precision")
+    p.add_argument("--name", type=str, default="model",
+                   help="the name of the run")
+    p.add_argument("--num-workers", type=int, default=8,
+                   help="the number of data loader workers")
+    p.add_argument("--reset-ema", action="store_true", help="reset the EMA")
+    p.add_argument("--resume", type=str, help="the checkpoint to resume from")
+    p.add_argument("--resume-inference", type=str,
+                   help="the inference checkpoint to resume from")
+    p.add_argument("--sample-n", type=int, default=64,
+                   help="the number of images to sample for demo grids")
+    p.add_argument("--save-every", type=int, default=10000,
+                   help="save every this many steps")
+    p.add_argument("--seed", type=int, help="the random seed")
+    p.add_argument("--wandb-entity", type=str, help="the wandb entity name")
+    p.add_argument("--wandb-group", type=str, help="the wandb group name")
+    p.add_argument("--wandb-project", type=str,
+                   help="the wandb project name (specify this to enable wandb)")
+    args = p.parse_args()
+
+    parallel.initialize_distributed()
+    mesh = parallel.make_mesh()
+    n_devices = len(jax.devices())
+    print(f"World: {jax.process_count()} process(es), {n_devices} device(s)")
+
+    config = config_mod.load_config(args.config)
+    model_config = config["model"]
+    dataset_config = config["dataset"]
+    opt_config = config["optimizer"]
+    sched_config = config["lr_sched"]
+    ema_sched_config = config["ema_sched"]
+    if args.lr is not None:
+        opt_config["lr"] = args.lr
+
+    seed = args.seed if args.seed is not None else 42
+    key = jax.random.PRNGKey(seed)
+    size = model_config["input_size"]
+    size = size if isinstance(size, (list, tuple)) else [size, size]
+    num_classes = dataset_config["num_classes"]
+    cond_dropout_rate = dataset_config["cond_dropout_rate"]
+    sigma_min, sigma_max = model_config["sigma_min"], model_config["sigma_max"]
+    is_image_v1 = model_config["type"] == "image_v1"
+
+    dtype = jnp.bfloat16 if args.mixed_precision == "bf16" else jnp.float32
+    model = config_mod.make_model(config, dtype=dtype,
+                                  checkpointing=args.checkpointing)
+
+    # wandb (optional)
+    use_wandb = bool(args.wandb_project)
+    if use_wandb:
+        try:
+            import wandb
+            wandb.init(project=args.wandb_project, entity=args.wandb_entity,
+                       group=args.wandb_group, config=config)
+        except ImportError:
+            print("wandb not available; logging disabled")
+            use_wandb = False
+
+    # dataset + loader (global batch; per-host sharding handled by
+    # local_batch_to_global for multi-host)
+    train_set = data.make_dataset(dataset_config, size[0],
+                                  config_dir=Path(args.config).parent)
+    try:
+        print(f"Number of items in dataset: {len(train_set):,}")
+    except TypeError:
+        pass
+    train_dl = data.DataLoader(train_set, args.batch_size * args.grad_accum_steps,
+                               seed=seed, num_workers=args.num_workers)
+
+    # on-device augmentation
+    augment_prob = model_config["augment_prob"]
+    aug_pipe = augmentation.KarrasAugmentationPipeline(
+        augment_prob, disable_all=augment_prob == 0)
+    aug_batch = jax.jit(jax.vmap(aug_pipe))
+
+    # model apply / param taxonomy per model family
+    if is_image_v1:
+        from k_diffusion_tpu.models import image_v1 as model_mod
+        labels_fn = model_mod.param_group_labels
+
+        def apply_fn(params, x, sig, dropout_key, aug_cond=None, **kwargs):
+            inner = augmentation.augment_wrapper_model_fn(
+                lambda xi, si, **kw: model.apply(
+                    {"params": params}, xi, si, train=True,
+                    rngs={"dropout": dropout_key}, **kw))
+            return inner(x, sig, aug_cond=aug_cond, **kwargs)
+    else:
+        from k_diffusion_tpu.models import image_transformer_v2 as model_mod
+        labels_fn = model_mod.param_group_labels
+        apply_fn = None
+
+    # init params / optimizer / state
+    example = {
+        "reals": jnp.zeros([1, size[0], size[1], model_config["input_channels"]]),
+    }
+    init_kwargs = {}
+    if num_classes and not is_image_v1:
+        example["class_cond"] = jnp.zeros([1], jnp.int32)
+    if is_image_v1:
+        init_kwargs["mapping_cond"] = jnp.zeros(
+            [1, model_config["mapping_cond_dim"] + 9]) \
+            if model_config["augment_wrapper"] else None
+        if init_kwargs["mapping_cond"] is None:
+            del init_kwargs["mapping_cond"]
+    variables = jax.jit(partial(model.init, train=False), static_argnames=())(
+        key, example["reals"], jnp.ones([1]),
+        **({"class_cond": example["class_cond"]} if "class_cond" in example else {}),
+        **init_kwargs)
+    params = variables["params"]
+    print(f"Parameters: {K.utils.n_params(params):,}")
+
+    labels = labels_fn(params)
+    opt = training.make_optimizer(config, labels)
+    ema_sched = config_mod.make_ema_sched(config)
+    sample_density = config_mod.make_sample_density(model_config)
+    denoiser_factory = config_mod.make_denoiser_wrapper(config)
+
+    state = training.TrainState(
+        step=jnp.int32(0), params=params, opt_state=opt.init(params),
+        ema_params=jax.tree_util.tree_map(jnp.copy, params))
+    host = {"epoch": 0, "step": 0, "elapsed": 0.0, "ema_stats": {},
+            "ema_sched": ema_sched.state_dict(), "gns_stats": None,
+            "config": config}
+    gns_stats = gns_mod.GradientNoiseScale() if args.gns else None
+
+    # resume
+    ckpt_path = args.resume or checkpoint.latest_checkpoint(args.name)
+    if ckpt_path and Path(ckpt_path).exists():
+        print(f"Resuming from {ckpt_path}...")
+        state, host = checkpoint.load_checkpoint(ckpt_path, state)
+        host["config"] = config  # current run's config wins (as in reference)
+        ema_sched.load_state_dict(host["ema_sched"])
+        if args.gns and host.get("gns_stats"):
+            gns_stats.load_state_dict(host["gns_stats"])
+    if args.reset_ema:
+        state = state.replace(
+            params=jax.tree_util.tree_map(jnp.copy, state.ema_params))
+        ema_sched = config_mod.make_ema_sched(config)
+    if args.resume_inference:
+        print(f"Loading {args.resume_inference}...")
+        inf_params, _ = checkpoint.load_inference(args.resume_inference)
+        inf_params = jax.tree_util.tree_map(
+            lambda a, b: jnp.asarray(b, a.dtype), state.params, inf_params)
+        state = state.replace(
+            params=inf_params,
+            ema_params=jax.tree_util.tree_map(jnp.copy, inf_params))
+
+    state = parallel.replicate(state, mesh)
+
+    train_step = training.make_train_step(
+        model, denoiser_factory, sample_density, opt,
+        num_classes=num_classes, cond_dropout_rate=cond_dropout_rate,
+        stratified=not args.gns, compute_gns=args.gns, apply_fn=apply_fn)
+
+    # demo sampling (reference train.py:331-369)
+    def make_cfg_model_fn(den, cfg_scale=1.0):
+        def cfg_model_fn(x, sigma, class_cond):
+            x_in = jnp.concatenate([x, x])
+            sigma_in = jnp.concatenate([sigma, sigma])
+            class_uncond = jnp.full_like(class_cond, num_classes)
+            class_in = jnp.concatenate([class_uncond, class_cond])
+            out = den(x_in, sigma_in, class_cond=class_in)
+            out_uncond, out_cond = jnp.split(out, 2)
+            return out_uncond + (out_cond - out_uncond) * cfg_scale
+        if cfg_scale != 1:
+            return cfg_model_fn
+        return den
+
+    def ema_denoiser(ema_params):
+        if is_image_v1:
+            inner = augmentation.augment_wrapper_model_fn(
+                lambda xi, si, **kw: model.apply({"params": ema_params}, xi, si, **kw))
+        else:
+            inner = lambda xi, si, **kw: model.apply({"params": ema_params}, xi, si, **kw)
+        return denoiser_factory(inner)
+
+    @jax.jit
+    def demo_sample(ema_params, demo_key):
+        den = make_cfg_model_fn(ema_denoiser(ema_params))
+        k_noise, k_cls = jax.random.split(demo_key)
+        n = args.sample_n
+        x = jax.random.normal(
+            k_noise, [n, size[0], size[1], model_config["input_channels"]]) * sigma_max
+        sigmas = sampling.get_sigmas_karras(50, sigma_min, sigma_max, rho=7.0)
+        extra = {}
+        if num_classes:
+            extra["class_cond"] = jax.random.randint(k_cls, [n], 0, num_classes)
+        return sampling.sample_dpmpp_2m_sde(
+            den, x, sigmas, extra_args=extra, eta=0.0, solver_type="heun")
+
+    def demo(step):
+        print("Sampling...")
+        demo_key = jax.random.fold_in(jax.random.PRNGKey(seed), step)
+        x_0 = jax.device_get(demo_sample(state.ema_params, demo_key))
+        grid = K.utils.make_grid(x_0, nrow=math.ceil(args.sample_n ** 0.5))
+        filename = f"{args.name}_demo_{step:08}.png"
+        K.utils.to_pil_image(grid).save(filename)
+        print(f"Saved {filename}")
+        if use_wandb:
+            import wandb
+            wandb.log({"demo_grid": wandb.Image(filename)}, step=step)
+
+    # evaluation (FID/KID)
+    evaluate_enabled = args.evaluate_every > 0 and args.evaluate_n > 0
+    extractor = None
+    if evaluate_enabled:
+        from k_diffusion_tpu import evaluation
+        try:
+            extractor = evaluation.make_extractor(args.evaluate_with)
+        except Exception as e:
+            print(f"Evaluation disabled (feature extractor unavailable: {e})")
+            evaluate_enabled = False
+    reals_features = None
+    if evaluate_enabled:
+        from k_diffusion_tpu import evaluation
+        print("Computing features for reals...")
+        real_iter = iter(train_dl)
+
+        def next_reals(n):
+            batch = next(real_iter)
+            return jnp.asarray(batch["image"][:n] * 2 - 1)
+
+        reals_features = evaluation.compute_features(
+            next_reals, extractor, args.evaluate_n, args.batch_size)
+
+    metrics_log = K.utils.CSVLogger(
+        f"{args.name}_metrics.csv", ["step", "time", "loss", "fid", "kid"])
+
+    def evaluate(step):
+        if not evaluate_enabled:
+            return
+        from k_diffusion_tpu import evaluation
+        print("Evaluating...")
+        sigmas = sampling.get_sigmas_karras(50, sigma_min, sigma_max, rho=7.0)
+
+        @jax.jit
+        def sample_fn_jit(ema_params, k, n_static):
+            den = make_cfg_model_fn(ema_denoiser(ema_params))
+            kx, kc = jax.random.split(k)
+            x = jax.random.normal(
+                kx, [n_static, size[0], size[1], model_config["input_channels"]]) * sigma_max
+            extra = {}
+            if num_classes:
+                extra["class_cond"] = jax.random.randint(kc, [n_static], 0, num_classes)
+            return sampling.sample_dpmpp_2m_sde(
+                den, x, sigmas, extra_args=extra, eta=0.0, solver_type="heun")
+
+        counter = [0]
+
+        def sample_fn(n):
+            counter[0] += 1
+            k = jax.random.fold_in(jax.random.PRNGKey(seed + 1), step * 1000 + counter[0])
+            return sample_fn_jit(state.ema_params, k, args.batch_size)[:n]
+
+        fakes_features = evaluation.compute_features(
+            sample_fn, extractor, args.evaluate_n, args.batch_size)
+        fid = evaluation.fid(fakes_features, reals_features)
+        kid = evaluation.kid(fakes_features, reals_features)
+        print(f"FID: {float(fid):g}, KID: {float(kid):g}")
+        metrics_log.write(step, host["elapsed"],
+                          host["ema_stats"].get("loss", float("nan")),
+                          float(fid), float(kid))
+        if use_wandb:
+            import wandb
+            wandb.log({"FID": float(fid), "KID": float(kid)}, step=step)
+
+    def save(step):
+        filename = f"{args.name}_{step:08}.ckpt"
+        print(f"Saving to {filename}...")
+        host["step"] = step
+        host["ema_sched"] = ema_sched.state_dict()
+        host["gns_stats"] = gns_stats.state_dict() if gns_stats else None
+        checkpoint.save_checkpoint(filename, state, host)
+        checkpoint.write_state_json(args.name, filename)
+
+    if args.evaluate_only:
+        if not evaluate_enabled:
+            raise ValueError("--evaluate-only requested but evaluation is disabled")
+        evaluate(host["step"])
+        return
+
+    # train loop (reference train.py:430-519)
+    step = host["step"]
+    epoch = host["epoch"]
+    losses_since_last_print = []
+    accum = args.grad_accum_steps
+    lr_sched = config_mod.make_lr_schedule(config)
+    sharding_batch = jax.sharding.NamedSharding(
+        mesh, jax.sharding.PartitionSpec(None, parallel.DATA_AXIS))
+
+    try:
+        while True:
+            for batch in train_dl:
+                t0 = time.time()
+                b = batch["image"].shape[0]
+                if b != args.batch_size * accum:
+                    continue
+                # on-device augmentation
+                aug_keys = jax.random.split(
+                    jax.random.fold_in(jax.random.PRNGKey(seed + 2), step), b)
+                aug_img, _, aug_cond = aug_batch(aug_keys, jnp.asarray(batch["image"]))
+                dev_batch = {
+                    "reals": aug_img.reshape(accum, args.batch_size, *aug_img.shape[1:]),
+                    "aug_cond": aug_cond.reshape(accum, args.batch_size, 9),
+                }
+                if num_classes and "class" in batch:
+                    dev_batch["class_cond"] = jnp.asarray(batch["class"]).reshape(
+                        accum, args.batch_size)
+                dev_batch = {k: jax.device_put(v, sharding_batch)
+                             for k, v in dev_batch.items()}
+
+                step_key = jax.random.fold_in(jax.random.PRNGKey(seed + 3), step)
+                ema_decay = ema_sched.get_value()
+                state, metrics = train_step(state, dev_batch, step_key, ema_decay)
+
+                loss = float(metrics["loss"])
+                losses_since_last_print.append(loss)
+                K.utils.ema_update_dict(host["ema_stats"], {"loss": loss},
+                                        ema_decay ** (1 / accum))
+                ema_sched.step()
+                if args.gns:
+                    gns_stats.update(
+                        float(metrics["grad_sq_norm_small"]),
+                        float(metrics["grad_sq_norm_big"]),
+                        args.batch_size, args.batch_size * accum)
+                host["elapsed"] += time.time() - t0
+
+                if step % 25 == 0:
+                    loss_disp = sum(losses_since_last_print) / len(losses_since_last_print)
+                    losses_since_last_print.clear()
+                    avg_loss = host["ema_stats"]["loss"]
+                    gns_str = f", gns: {gns_stats.get_gns():g}" if args.gns else ""
+                    print(f"Epoch: {epoch}, step: {step}, loss: {loss_disp:g}, "
+                          f"avg loss: {avg_loss:g}{gns_str}", flush=True)
+                if use_wandb:
+                    import wandb
+                    log_dict = {"epoch": epoch, "loss": loss,
+                                "lr": float(lr_sched(step)), "ema_decay": ema_decay}
+                    if args.gns:
+                        log_dict["gradient_noise_scale"] = gns_stats.get_gns()
+                    wandb.log(log_dict, step=step)
+
+                step += 1
+                host["step"] = step
+                if step % args.demo_every == 0:
+                    demo(step)
+                if evaluate_enabled and step > 0 and step % args.evaluate_every == 0:
+                    evaluate(step)
+                if step == args.end_step or (step > 0 and step % args.save_every == 0):
+                    save(step)
+                if step == args.end_step:
+                    print("Done!")
+                    return
+            epoch += 1
+            host["epoch"] = epoch
+    except KeyboardInterrupt:
+        pass
+
+
+if __name__ == "__main__":
+    main()
