@@ -66,6 +66,9 @@ class FolderOfImages:
     def __len__(self):
         return len(self.paths)
 
+    def image_path(self, i):
+        return self.paths[i]
+
     def __getitem__(self, i):
         return {"image": _load_resized(self.paths[i], self.size)}
 
@@ -86,6 +89,9 @@ class ImageFolderWithClasses:
 
     def __len__(self):
         return len(self.samples)
+
+    def image_path(self, i):
+        return self.samples[i][0]
 
     def __getitem__(self, i):
         path, cls = self.samples[i]
@@ -247,6 +253,7 @@ class DataLoader:
         self.prefetch = prefetch
         self.drop_last = drop_last
         self.epoch = 0
+        self._native_ok = None
 
     def __len__(self):
         n = len(self.dataset) // self.batch_size
@@ -255,11 +262,29 @@ class DataLoader:
         return n
 
     def _assemble(self, idxs):
+        # native fast path: one C call decodes + resizes the whole batch on a
+        # C++ thread pool (file-backed datasets only)
+        if self._use_native():
+            from . import native
+            paths = [self.dataset.image_path(int(i)) for i in idxs]
+            images, failures = native.load_batch(paths, self.dataset.size)
+            batch = {"image": images}
+            if hasattr(self.dataset, "samples"):
+                batch["class"] = np.asarray(
+                    [self.dataset.samples[int(i)][1] for i in idxs], np.int32)
+            return batch
         items = [self.dataset[int(i)] for i in idxs]
         batch = {"image": np.stack([it["image"] for it in items])}
         if "class" in items[0]:
             batch["class"] = np.asarray([it["class"] for it in items], np.int32)
         return batch
+
+    def _use_native(self):
+        if self._native_ok is None:
+            from . import native
+            self._native_ok = (hasattr(self.dataset, "image_path")
+                               and native.available())
+        return self._native_ok
 
     def __iter__(self):
         rng = np.random.RandomState(self.seed + self.epoch)

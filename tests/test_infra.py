@@ -204,3 +204,46 @@ def test_static_thresh_and_cond_fn():
         lambda x, s, denoised: jnp.ones_like(x))
     out = cond(jnp.zeros([2, 3]), jnp.full([2], 2.0))
     np.testing.assert_allclose(np.asarray(out), 4.0)  # 0 + 1 * sigma^2
+
+
+def test_native_loader_matches_pil(tmp_path):
+    from PIL import Image
+    from k_diffusion_tpu import native
+    if not native.available():
+        pytest.skip("native data library not built")
+    rng = np.random.RandomState(0)
+    paths = []
+    for i in range(4):
+        arr = (rng.rand(96, 128, 3) * 255).astype(np.uint8)
+        p = tmp_path / f"i{i}.png"
+        Image.fromarray(arr).save(p)
+        paths.append(p)
+    batch, fails = native.load_batch(paths, 64)
+    assert fails == 0
+    assert batch.shape == (4, 64, 64, 3)
+    assert batch.min() >= 0 and batch.max() <= 1
+    from k_diffusion_tpu.data import _load_resized
+    pil = _load_resized(paths[0], 64)
+    assert np.abs(pil - batch[0]).mean() < 0.01
+    # corrupt file -> counted as failure, slot zero-filled
+    bad = tmp_path / "bad.png"
+    bad.write_bytes(b"\x89PNG\r\n\x1a\nnot a real png")
+    batch2, fails2 = native.load_batch([bad] + paths[:1], 64)
+    assert fails2 == 1
+    np.testing.assert_allclose(batch2[0], 0.0)
+
+
+def test_dataloader_uses_native_for_folders(tmp_path):
+    from PIL import Image
+    from k_diffusion_tpu import native
+    if not native.available():
+        pytest.skip("native data library not built")
+    rng = np.random.RandomState(0)
+    for i in range(10):
+        Image.fromarray((rng.rand(64, 64, 3) * 255).astype(np.uint8)).save(
+            tmp_path / f"i{i}.png")
+    ds = data.FolderOfImages(tmp_path, 32)
+    dl = data.DataLoader(ds, batch_size=4, num_workers=1)
+    batch = next(iter(dl))
+    assert dl._use_native()
+    assert batch["image"].shape == (4, 32, 32, 3)

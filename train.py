@@ -177,6 +177,22 @@ def main():
     params = variables["params"]
     print(f"Parameters: {K.utils.n_params(params):,}")
 
+    # forward-pass FLOPs from XLA cost analysis (reference train.py:243-251)
+    try:
+        from k_diffusion_tpu.models import flops as flops_mod
+        gflops = flops_mod.xla_forward_flops(
+            lambda *a, **kw: model.apply({"params": params}, *a, **kw),
+            example["reals"], jnp.ones([1]),
+            **({"class_cond": example["class_cond"]} if "class_cond" in example else {}),
+            **init_kwargs)
+        msg = f"Forward pass GFLOPs (XLA): {gflops / 1e9:,.3f}"
+        if model_config["type"] == "image_transformer_v2":
+            ana = flops_mod.analytic_transformer_flops(config, batch=1)
+            msg += f"; analytic (reference convention): {ana / 1e9:,.3f}"
+        print(msg, flush=True)
+    except Exception as e:
+        print(f"(FLOP analysis unavailable: {e})")
+
     labels = labels_fn(params)
     opt = training.make_optimizer(config, labels)
     ema_sched = config_mod.make_ema_sched(config)
