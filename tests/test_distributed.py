@@ -1,0 +1,110 @@
+"""Distributed tests on the 8-device CPU mesh (SURVEY.md §4): sharded
+training must be bit-equivalent to single-device training, and sharded
+sampling must shard without changing results."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from k_diffusion_tpu import config as config_mod, parallel, training
+from k_diffusion_tpu.models import image_transformer_v2 as itv2
+
+TINY = {
+    "model": {
+        "type": "image_transformer_v2",
+        "input_channels": 3,
+        "input_size": [16, 16],
+        "patch_size": [4, 4],
+        "depths": [1],
+        "widths": [32],
+        "self_attns": [{"type": "global", "d_head": 16}],
+        "sigma_data": 0.5,
+        "sigma_min": 1e-2,
+        "sigma_max": 80,
+        "sigma_sample_density": {"type": "lognormal", "mean": -1.2, "std": 1.2},
+    },
+    "dataset": {"type": "synthetic", "num_classes": 0},
+}
+
+
+def _setup():
+    cfg = config_mod.load_config(TINY)
+    model = config_mod.make_model(cfg)
+    key = jax.random.PRNGKey(0)
+    v = model.init(key, jnp.zeros([1, 16, 16, 3]), jnp.ones([1]))
+    labels = itv2.param_group_labels(v["params"])
+    opt = training.make_optimizer(cfg, labels)
+    state = training.init_train_state(model, opt, key, {"reals": jnp.zeros([2, 16, 16, 3])})
+    density = config_mod.make_sample_density(cfg["model"])
+    den_factory = config_mod.make_denoiser_wrapper(cfg)
+    step = training.make_train_step(model, den_factory, density, opt)
+    return state, step
+
+
+def test_sharded_step_matches_single_device():
+    """The same global batch must produce identical params whether sharded
+    over 8 devices or run on 1 — XLA's psum from sharding == no-op math."""
+    assert len(jax.devices()) >= 8
+    key = jax.random.PRNGKey(7)
+    batch = {"reals": jax.random.normal(key, (1, 16, 16, 16, 3))}
+    step_key = jax.random.fold_in(key, 1)
+
+    # single device
+    state1, step1 = _setup()
+    state1, m1 = step1(state1, batch, step_key, 0.99)
+
+    # 8-device mesh
+    mesh = parallel.make_mesh(jax.devices()[:8])
+    state8, step8 = _setup()
+    with mesh:
+        state8 = parallel.replicate(state8, mesh)
+        sharding = jax.sharding.NamedSharding(
+            mesh, jax.sharding.PartitionSpec(None, parallel.DATA_AXIS))
+        batch8 = {k: jax.device_put(v, sharding) for k, v in batch.items()}
+        state8, m8 = step8(state8, batch8, step_key, 0.99)
+
+    np.testing.assert_allclose(float(m1["loss"]), float(m8["loss"]), rtol=1e-5)
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=2e-6),
+        jax.device_get(state1.params), jax.device_get(state8.params))
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=2e-6),
+        jax.device_get(state1.ema_params), jax.device_get(state8.ema_params))
+
+
+def test_sampling_shards_over_batch():
+    """Samplers are pure batch maps: sharding the batch over the mesh must
+    not change the result."""
+    from k_diffusion_tpu import sampling
+
+    def gd(x, sigma):
+        sig = sigma.reshape(sigma.shape + (1,) * (x.ndim - sigma.ndim))
+        return x / (1 + sig ** 2)
+
+    key = jax.random.PRNGKey(0)
+    x = jax.random.normal(key, (16, 8, 8, 1)) * 80.0
+    sigmas = sampling.get_sigmas_karras(10, 1e-2, 80.0)
+    ref = sampling.sample_dpmpp_2m(gd, x, sigmas)
+
+    mesh = parallel.make_mesh(jax.devices()[:8])
+    with mesh:
+        sharding = jax.sharding.NamedSharding(
+            mesh, jax.sharding.PartitionSpec(parallel.DATA_AXIS))
+        xs = jax.device_put(x, sharding)
+        out = jax.jit(lambda x, s: sampling.sample_dpmpp_2m(gd, x, s))(xs, sigmas)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-4)
+
+
+def test_stratified_sigma_strata_cover_globally():
+    """The train step stratifies sigmas over the flattened global batch:
+    check the underlying stratified_uniform covers every stratum exactly
+    once for (accum x batch) reshaping."""
+    from k_diffusion_tpu.utils import stratified_uniform
+    key = jax.random.PRNGKey(0)
+    a_steps, b = 2, 16
+    u = stratified_uniform(key, (a_steps * b,), group=0, groups=1)
+    bins = np.floor(np.asarray(u) * a_steps * b).astype(int)
+    assert sorted(bins.tolist()) == list(range(a_steps * b))
