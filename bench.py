@@ -34,7 +34,7 @@ def main():
     config = config_mod.load_config(__graft_entry__._flagship_config())
     model = config_mod.make_model(config, dtype=jnp.bfloat16)
     key = jax.random.PRNGKey(0)
-    batch = 8
+    batch = 8  # measured sweet spot on v5e (negative batch scaling beyond)
     steps = 50
     x_shape = (batch, 256, 256, 3)
 

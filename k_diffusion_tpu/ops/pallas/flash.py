@@ -26,12 +26,12 @@ MAX_PALLAS_SEQ = 8192
 
 def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, *, scale, seq_len, tq):
     i = pl.program_id(1)
-    q = q_ref[0].astype(jnp.float32) * scale  # (tq, e)
-    ks = k_ref[0].astype(jnp.float32)         # (s, e)
-    vs = v_ref[0].astype(jnp.float32)
+    q = q_ref[0]   # (tq, e)
+    ks = k_ref[0]  # (s, e)
+    vs = v_ref[0]
     s = jax.lax.dot_general(
         q, ks, dimension_numbers=(((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32)   # (tq, s)
+        preferred_element_type=jnp.float32) * scale  # (tq, s)
     # mask padded queries/keys when seq_len % block != 0
     if seq_len % tq != 0 or seq_len != ks.shape[0]:
         ik = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
@@ -40,7 +40,8 @@ def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, *, scale, seq_len, tq):
     p = jnp.exp(s - m)
     l = jnp.sum(p, axis=1, keepdims=True)
     o = jax.lax.dot_general(
-        p / l, vs, dimension_numbers=(((1,), (0,)), ((), ())),
+        (p / l).astype(q_ref.dtype), vs,
+        dimension_numbers=(((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32)
     o_ref[0] = o.astype(o_ref.dtype)
     lse_ref[0, 0] = m + jnp.log(l)
@@ -48,15 +49,15 @@ def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, *, scale, seq_len, tq):
 
 def _dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dq_ref, *,
                scale, seq_len, tq):
-    q = q_ref[0].astype(jnp.float32)
-    ks = k_ref[0].astype(jnp.float32)
-    vs = v_ref[0].astype(jnp.float32)
-    do = do_ref[0].astype(jnp.float32)
+    q = q_ref[0]
+    ks = k_ref[0]
+    vs = v_ref[0]
+    do = do_ref[0]
     lse = lse_ref[0, 0]      # (tq, 1)
     delta = delta_ref[0, 0]  # (tq, 1)
     s = jax.lax.dot_general(
-        q * scale, ks, dimension_numbers=(((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32)
+        q, ks, dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32) * scale
     if seq_len != ks.shape[0]:
         ik = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
         s = jnp.where(ik < seq_len, s, -jnp.inf)
@@ -64,7 +65,7 @@ def _dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dq_ref, *,
     dp = jax.lax.dot_general(
         do, vs, dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32)
-    ds = p * (dp - delta)
+    ds = (p * (dp - delta)).astype(q_ref.dtype)
     dq = jax.lax.dot_general(
         ds, ks, dimension_numbers=(((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32) * scale
@@ -74,15 +75,15 @@ def _dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dq_ref, *,
 def _dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
                 dk_ref, dv_ref, *, scale, seq_len, tk):
     j = pl.program_id(1)
-    qs = q_ref[0].astype(jnp.float32)    # (s, e) full queries
-    kt = k_ref[0].astype(jnp.float32)    # (tk, e)
-    vt = v_ref[0].astype(jnp.float32)
-    do = do_ref[0].astype(jnp.float32)   # (s, e)
+    qs = q_ref[0]    # (s, e) full queries
+    kt = k_ref[0]    # (tk, e)
+    vt = v_ref[0]
+    do = do_ref[0]   # (s, e)
     lse = lse_ref[0]                     # (s, 1)
     delta = delta_ref[0]
     s = jax.lax.dot_general(
-        qs * scale, kt, dimension_numbers=(((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32)  # (s, tk)
+        qs, kt, dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32) * scale  # (s, tk)
     if seq_len != qs.shape[0]:
         iq = jax.lax.broadcasted_iota(jnp.int32, s.shape, 0)
         s = jnp.where(iq < seq_len, s, -jnp.inf)
@@ -90,12 +91,12 @@ def _dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
     else:
         p = jnp.exp(s - lse)
     dv = jax.lax.dot_general(
-        p, do, dimension_numbers=(((0,), (0,)), ((), ())),
+        p.astype(q_ref.dtype), do, dimension_numbers=(((0,), (0,)), ((), ())),
         preferred_element_type=jnp.float32)  # (tk, e)
     dp = jax.lax.dot_general(
         do, vt, dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32)  # (s, tk)
-    ds = p * (dp - delta)
+    ds = (p * (dp - delta)).astype(q_ref.dtype)
     dk = jax.lax.dot_general(
         ds, qs, dimension_numbers=(((0,), (0,)), ((), ())),
         preferred_element_type=jnp.float32) * scale  # (tk, e)
