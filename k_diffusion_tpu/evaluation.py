@@ -67,12 +67,87 @@ class TorchscriptInceptionExtractor:
         return jnp.asarray(feats.float().numpy())
 
 
+class CLIPFeatureExtractor:
+    """CLIP image-embedding extractor (reference evaluation.py:34-54), via a
+    flax CLIP vision tower from the local transformers cache. Features are
+    L2-normalized and scaled by sqrt(d) exactly like the reference."""
+
+    name = "clip"
+
+    def __init__(self, model_name="openai/clip-vit-base-patch16"):
+        from transformers import FlaxCLIPModel
+        self.model = FlaxCLIPModel.from_pretrained(model_name, local_files_only=True)
+        self.size = self.model.config.vision_config.image_size
+        self.mean = jnp.asarray([0.48145466, 0.4578275, 0.40821073])
+        self.std = jnp.asarray([0.26862954, 0.26130258, 0.27577711])
+
+    @classmethod
+    def available_models(cls):
+        return ["openai/clip-vit-base-patch16", "openai/clip-vit-base-patch32",
+                "openai/clip-vit-large-patch14"]
+
+    def __call__(self, x):
+        x = (x + 1) / 2
+        x = jax.image.resize(x, (x.shape[0], self.size, self.size, x.shape[-1]),
+                             method="cubic")
+        if x.shape[-1] == 1:
+            x = jnp.tile(x, (1, 1, 1, 3))
+        x = (x - self.mean) / self.std
+        feats = self.model.get_image_features(jnp.moveaxis(x, -1, 1))
+        feats = feats / jnp.linalg.norm(feats, axis=-1, keepdims=True)
+        return feats * feats.shape[-1] ** 0.5
+
+
+class DINOv2FeatureExtractor:
+    """DINOv2 extractor (reference evaluation.py:57-77) via transformers'
+    Dinov2Model (torch, CPU) from the local cache."""
+
+    name = "dinov2"
+
+    def __init__(self, model_name="facebook/dinov2-large"):
+        import torch
+        from transformers import Dinov2Model
+        self.torch = torch
+        self.model = Dinov2Model.from_pretrained(model_name, local_files_only=True).eval()
+        self.size = 224
+        self.mean = np.asarray([0.485, 0.456, 0.406], np.float32)
+        self.std = np.asarray([0.229, 0.224, 0.225], np.float32)
+
+    @classmethod
+    def available_models(cls):
+        return ["facebook/dinov2-small", "facebook/dinov2-base",
+                "facebook/dinov2-large", "facebook/dinov2-giant"]
+
+    def __call__(self, x):
+        torch = self.torch
+        x = np.asarray(jax.device_get(x))
+        x = (x + 1) / 2
+        t = torch.from_numpy(x).permute(0, 3, 1, 2).float()
+        t = torch.nn.functional.interpolate(
+            t, (self.size, self.size), mode="bicubic", align_corners=False,
+            antialias=True)
+        if t.shape[1] == 1:
+            t = torch.cat([t] * 3, dim=1)
+        t = (t - torch.from_numpy(self.mean)[None, :, None, None])             / torch.from_numpy(self.std)[None, :, None, None]
+        with torch.no_grad():
+            feats = self.model(t).pooler_output.float()
+        feats = torch.nn.functional.normalize(feats, dim=-1) * feats.shape[-1] ** 0.5
+        return jnp.asarray(feats.numpy())
+
+
 def make_extractor(name, **kwargs):
-    if name == "inception":
-        return TorchscriptInceptionExtractor(**kwargs)
-    raise RuntimeError(
-        f"feature extractor '{name}' requires downloaded weights, which are "
-        "unavailable in this offline environment")
+    try:
+        if name == "inception":
+            return TorchscriptInceptionExtractor(**kwargs)
+        if name == "clip":
+            return CLIPFeatureExtractor(**kwargs)
+        if name == "dinov2":
+            return DINOv2FeatureExtractor(**kwargs)
+    except Exception as e:
+        raise RuntimeError(
+            f"feature extractor '{name}' unavailable (weights must already be "
+            f"in the local cache; no network egress): {e}")
+    raise ValueError(f"unknown feature extractor '{name}'")
 
 
 def compute_features(sample_fn, extractor_fn, n, batch_size):

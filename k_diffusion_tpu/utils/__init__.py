@@ -7,7 +7,8 @@ context becomes an explicit ``stratified`` argument; torch LR scheduler classes
 become optax-style schedule closures.
 """
 
-from .array import append_dims, n_params, dct, idct, freq_weight_1d, freq_weight_nd
+from .array import (append_dims, dct, freq_weight_1d, freq_weight_nd, idct,
+                    matmul_precision, n_params)
 from .schedules import (
     EMAWarmup,
     constant_lr_with_warmup,
@@ -31,6 +32,7 @@ from .io import download_file, get_safetensors_metadata
 
 __all__ = [
     "append_dims", "n_params", "dct", "idct", "freq_weight_1d", "freq_weight_nd",
+    "matmul_precision",
     "EMAWarmup", "constant_lr_with_warmup", "exponential_lr", "inverse_lr",
     "ema_update", "ema_update_dict",
     "rand_cosine_interpolated", "rand_log_logistic", "rand_log_normal",

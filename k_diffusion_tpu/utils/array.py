@@ -59,3 +59,10 @@ def freq_weight_nd(shape, scales=0, dtype=jnp.float32):
     ]
     weights = [freq_weight_1d(n, scales, dtype)[ix] for n, ix in zip(shape, indexers)]
     return reduce(jnp.minimum, weights)
+
+
+def matmul_precision(precision="highest"):
+    """Context manager pinning jax matmul precision — the TPU analog of the
+    reference's tf32_mode (utils.py:428-443); used by the FID/KID metrics."""
+    import jax
+    return jax.default_matmul_precision(precision)

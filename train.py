@@ -60,6 +60,10 @@ def main():
     p.add_argument("--evaluate-with", type=str, default="inception",
                    choices=["inception", "clip", "dinov2"],
                    help="the feature extractor to use for evaluation")
+    p.add_argument("--clip-model", type=str, default="openai/clip-vit-base-patch16",
+                   help="the CLIP model to use to evaluate")
+    p.add_argument("--dinov2-model", type=str, default="facebook/dinov2-large",
+                   help="the DINOv2 model to use to evaluate")
     p.add_argument("--gns", action="store_true",
                    help="measure the gradient noise scale (disables stratified sampling)")
     p.add_argument("--grad-accum-steps", type=int, default=1,
@@ -290,7 +294,12 @@ def main():
     if evaluate_enabled:
         from k_diffusion_tpu import evaluation
         try:
-            extractor = evaluation.make_extractor(args.evaluate_with)
+            kw = {}
+            if args.evaluate_with == "clip":
+                kw["model_name"] = args.clip_model
+            elif args.evaluate_with == "dinov2":
+                kw["model_name"] = args.dinov2_model
+            extractor = evaluation.make_extractor(args.evaluate_with, **kw)
         except Exception as e:
             print(f"Evaluation disabled (feature extractor unavailable: {e})")
             evaluate_enabled = False
