@@ -118,6 +118,7 @@ class SelfAttentionBlock(nn.Module):
     attn_spec: SelfAttnSpec
     dropout: float = 0.0
     shifted: bool = False
+    tp_axis: Any = None
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -131,6 +132,13 @@ class SelfAttentionBlock(nn.Module):
 
         b, h, w, _ = qkv.shape
         qkv = qkv.reshape(b, h, w, 3, n_heads, self.d_head)
+        if self.tp_axis:
+            # tensor parallelism: batch over data, attention heads over the
+            # model axis; XLA partitions everything downstream head-wise
+            U = jax.sharding.PartitionSpec.UNCONSTRAINED
+            qkv = jax.lax.with_sharding_constraint(
+                qkv, jax.sharding.PartitionSpec(
+                    U, None, None, None, self.tp_axis, None))
         q, k, v = qkv[..., 0, :, :], qkv[..., 1, :, :], qkv[..., 2, :, :]
         q, k = ops.scale_for_cosine_sim(q, k, scale[:, None], 1e-6)
 
@@ -139,16 +147,26 @@ class SelfAttentionBlock(nn.Module):
         q = ops.apply_rotary_emb(q, theta)
         k = ops.apply_rotary_emb(k, theta)
 
+        # Pallas kernels are not GSPMD-partitionable, so tensor-parallel runs
+        # use the pure-XLA attention paths (head-sharded by the constraint
+        # above); single-model-axis runs take the Pallas fast path.
         if isinstance(self.attn_spec, GlobalAttentionSpec):
-            from ..ops.pallas import flash_attention
             qs = q.reshape(b, h * w, n_heads, self.d_head)
             ks = k.reshape(b, h * w, n_heads, self.d_head)
             vs = v.reshape(b, h * w, n_heads, self.d_head)
-            out = flash_attention(qs, ks, vs, scale=1.0)
+            if self.tp_axis:
+                out = ops.global_attention(qs, ks, vs, scale=1.0)
+            else:
+                from ..ops.pallas import flash_attention
+                out = flash_attention(qs, ks, vs, scale=1.0)
             x = out.reshape(b, h, w, n_heads * self.d_head)
         elif isinstance(self.attn_spec, NeighborhoodAttentionSpec):
-            from ..ops.pallas import na2d
-            out = na2d(q, k, v, self.attn_spec.kernel_size, scale=1.0)
+            if self.tp_axis:
+                out = ops.neighborhood_attention(
+                    q, k, v, self.attn_spec.kernel_size, scale=1.0)
+            else:
+                from ..ops.pallas import na2d
+                out = na2d(q, k, v, self.attn_spec.kernel_size, scale=1.0)
             x = out.reshape(b, h, w, n_heads * self.d_head)
         elif isinstance(self.attn_spec, ShiftedWindowAttentionSpec):
             # layers alternate unshifted/shifted (reference :520-524)
@@ -169,6 +187,7 @@ class FeedForwardBlock(nn.Module):
     d_model: int
     d_ff: int
     dropout: float = 0.0
+    tp_axis: Any = None
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -177,6 +196,11 @@ class FeedForwardBlock(nn.Module):
         x = AdaRMSNorm(dtype=self.dtype, name="norm")(x, cond)
         up = nn.Dense(self.d_ff * 2, use_bias=False, dtype=self.dtype,
                       name="up_proj")(x)
+        if self.tp_axis:
+            # megatron-style: hidden dim sharded, down_proj reduces
+            U = jax.sharding.PartitionSpec.UNCONSTRAINED
+            up = jax.lax.with_sharding_constraint(
+                up, jax.sharding.PartitionSpec(U, None, None, self.tp_axis))
         a, gate = jnp.split(up, 2, axis=-1)
         x = a * nn.gelu(gate, approximate=False)
         x = nn.Dropout(self.dropout)(x, deterministic=deterministic)
@@ -194,6 +218,7 @@ class TransformerLayer(nn.Module):
     self_attn: SelfAttnSpec
     dropout: float = 0.0
     shifted: bool = False
+    tp_axis: Any = None
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -201,10 +226,12 @@ class TransformerLayer(nn.Module):
         if not isinstance(self.self_attn, NoAttentionSpec):
             x = SelfAttentionBlock(
                 self.d_model, self.self_attn.d_head, self.self_attn,
-                dropout=self.dropout, shifted=self.shifted, dtype=self.dtype,
+                dropout=self.dropout, shifted=self.shifted,
+                tp_axis=self.tp_axis, dtype=self.dtype,
                 name="self_attn")(x, pos, cond, deterministic)
         x = FeedForwardBlock(self.d_model, self.d_ff, dropout=self.dropout,
-                             dtype=self.dtype, name="ff")(x, cond, deterministic)
+                             tp_axis=self.tp_axis, dtype=self.dtype,
+                             name="ff")(x, cond, deterministic)
         return x
 
 
@@ -324,6 +351,7 @@ class ImageTransformerDenoiserModelV2(nn.Module):
     num_classes: int = 0
     mapping_cond_dim: int = 0
     checkpointing: bool = False
+    tp_axis: Any = None  # mesh axis name for tensor parallelism (or None)
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -372,7 +400,8 @@ class ImageTransformerDenoiserModelV2(nn.Module):
                     shifted = (i + offset) % 2 == 1
                     x = layer_cls(
                         spec.width, spec.d_ff, spec.self_attn,
-                        dropout=spec.dropout, shifted=shifted, dtype=self.dtype,
+                        dropout=spec.dropout, shifted=shifted,
+                        tp_axis=self.tp_axis, dtype=self.dtype,
                         name=f"{prefix}_layer_{i}")(x, pos, cond, deterministic)
                 return x
             return run

@@ -16,12 +16,24 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 DATA_AXIS = "data"
+MODEL_AXIS = "model"
 
 
 def make_mesh(devices=None, axis_name=DATA_AXIS):
     """A 1-D data-parallel mesh over all (or the given) devices."""
     devices = jax.devices() if devices is None else devices
     return Mesh(np.asarray(devices), (axis_name,))
+
+
+def make_mesh_2d(tp=1, devices=None, data_axis=DATA_AXIS, model_axis=MODEL_AXIS):
+    """A (data, model) mesh for dp x tp: the model axis shards attention
+    heads / FF hidden dims (see ImageTransformerDenoiserModelV2.tp_axis);
+    lay the model axis innermost so its collectives ride ICI neighbors."""
+    devices = jax.devices() if devices is None else devices
+    n = len(devices)
+    assert n % tp == 0, f"{n} devices not divisible by tp={tp}"
+    arr = np.asarray(devices).reshape(n // tp, tp)
+    return Mesh(arr, (data_axis, model_axis))
 
 
 def batch_spec(mesh, axis_name=DATA_AXIS):

@@ -108,3 +108,42 @@ def test_stratified_sigma_strata_cover_globally():
     u = stratified_uniform(key, (a_steps * b,), group=0, groups=1)
     bins = np.floor(np.asarray(u) * a_steps * b).astype(int)
     assert sorted(bins.tolist()) == list(range(a_steps * b))
+
+
+def test_tensor_parallel_matches_single_device():
+    """dp=4 x tp=2: sharding attention heads / FF hidden dims must not change
+    the math (same loss and params as the unsharded step)."""
+    import dataclasses
+    assert len(jax.devices()) >= 8
+    key = jax.random.PRNGKey(11)
+    batch = {"reals": jax.random.normal(key, (1, 8, 16, 16, 3))}
+    step_key = jax.random.fold_in(key, 1)
+
+    state1, step1 = _setup()
+    state1, m1 = step1(state1, batch, step_key, 0.99)
+
+    cfg = config_mod.load_config(TINY)
+    model = dataclasses.replace(
+        config_mod.make_model(cfg), tp_axis=parallel.MODEL_AXIS)
+    k0 = jax.random.PRNGKey(0)
+    mesh = parallel.make_mesh_2d(tp=2, devices=jax.devices()[:8])
+    with mesh:
+        v = model.init(k0, jnp.zeros([1, 16, 16, 3]), jnp.ones([1]))
+        labels = itv2.param_group_labels(v["params"])
+        opt = training.make_optimizer(cfg, labels)
+        state = training.init_train_state(
+            model, opt, k0, {"reals": jnp.zeros([2, 16, 16, 3])})
+        state = parallel.replicate(state, mesh)
+        density = config_mod.make_sample_density(cfg["model"])
+        den_factory = config_mod.make_denoiser_wrapper(cfg)
+        step = training.make_train_step(model, den_factory, density, opt)
+        sharding = jax.sharding.NamedSharding(
+            mesh, jax.sharding.PartitionSpec(None, parallel.DATA_AXIS))
+        batch_tp = {k: jax.device_put(x, sharding) for k, x in batch.items()}
+        state, m_tp = step(state, batch_tp, step_key, 0.99)
+
+    np.testing.assert_allclose(float(m1["loss"]), float(m_tp["loss"]), rtol=1e-5)
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=2e-6),
+        jax.device_get(state1.params), jax.device_get(state.params))
