@@ -20,6 +20,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 
 DEFAULT_Q_BLOCK = 256
+# below this, plain XLA SDPA is faster (kernel launch overhead dominates)
+MIN_PALLAS_SEQ = 512
 # beyond this seq len the (S, e) kv copies + (TQ, S) logits stop fitting VMEM
 MAX_PALLAS_SEQ = 8192
 
@@ -172,7 +174,8 @@ def flash_attention(q, k, v, scale=1.0, q_block=DEFAULT_Q_BLOCK):
     """Exact global attention. q,k,v: (batch, seq, heads, head_dim).
     Pallas on TPU for seq <= MAX_PALLAS_SEQ (larger falls back to XLA)."""
     b, s, heads, e = q.shape
-    if jax.default_backend() != "tpu" or s > MAX_PALLAS_SEQ or s < q_block:
+    if (jax.default_backend() != "tpu" or s > MAX_PALLAS_SEQ
+            or s < max(q_block, MIN_PALLAS_SEQ)):
         return jax.nn.dot_product_attention(q, k, v, scale=scale)
 
     def pack(t):

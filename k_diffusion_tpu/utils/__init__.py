@@ -8,7 +8,7 @@ become optax-style schedule closures.
 """
 
 from .array import (append_dims, dct, freq_weight_1d, freq_weight_nd, idct,
-                    matmul_precision, n_params)
+                    matmul_precision, n_params, transfer_params)
 from .schedules import (
     EMAWarmup,
     constant_lr_with_warmup,
@@ -32,7 +32,7 @@ from .io import download_file, get_safetensors_metadata
 
 __all__ = [
     "append_dims", "n_params", "dct", "idct", "freq_weight_1d", "freq_weight_nd",
-    "matmul_precision",
+    "matmul_precision", "transfer_params",
     "EMAWarmup", "constant_lr_with_warmup", "exponential_lr", "inverse_lr",
     "ema_update", "ema_update_dict",
     "rand_cosine_interpolated", "rand_log_logistic", "rand_log_normal",

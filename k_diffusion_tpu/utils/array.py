@@ -66,3 +66,22 @@ def matmul_precision(precision="highest"):
     reference's tf32_mode (utils.py:428-443); used by the FID/KID metrics."""
     import jax
     return jax.default_matmul_precision(precision)
+
+
+def transfer_params(new_params, old_params):
+    """Copies shape-matching leaves from old_params into new_params by pytree
+    path — the functional replacement for the reference's progressive-growing
+    mutators (image_v1.py:159-176 set_skip_stages/set_patch_size): rebuild the
+    model with new static fields, init fresh params, then transfer everything
+    that survived (changed heads like proj_in/proj_out keep their fresh
+    init). Returns (params, n_transferred, n_total)."""
+    from flax import traverse_util
+
+    new_flat = traverse_util.flatten_dict(new_params)
+    old_flat = traverse_util.flatten_dict(old_params)
+    n = 0
+    for path, leaf in new_flat.items():
+        if path in old_flat and old_flat[path].shape == leaf.shape:
+            new_flat[path] = old_flat[path].astype(leaf.dtype)
+            n += 1
+    return traverse_util.unflatten_dict(new_flat), n, len(new_flat)

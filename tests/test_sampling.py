@@ -248,3 +248,39 @@ def test_callback_is_invoked():
                           callback=lambda info: calls.append(int(info["i"])))
     jax.effects_barrier()
     assert calls == list(range(5))
+
+
+def test_sampler_determinism_fixed_key():
+    """Identical PRNG keys must give bit-identical samples (reproducibility
+    story replacing the reference's RNG-state checkpointing)."""
+    key = jax.random.PRNGKey(5)
+    sigmas = sampling.get_sigmas_karras(20, SIGMA_MIN, SIGMA_MAX)
+    x = jax.random.normal(key, (2, 8)) * SIGMA_MAX
+    a = sampling.sample_dpmpp_2m_sde(gaussian_denoiser, x, sigmas, key=key)
+    b = sampling.sample_dpmpp_2m_sde(gaussian_denoiser, x, sigmas, key=key)
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    c = sampling.sample_dpmpp_2m_sde(gaussian_denoiser, x, sigmas,
+                                     key=jax.random.fold_in(key, 1))
+    assert np.abs(np.asarray(a) - np.asarray(c)).max() > 1e-4
+
+
+def test_brownian_noise_reduces_step_count_variance():
+    """The point of the Brownian tree (reference sampling.py:92-114): with the
+    same seed, sampling at different step counts stays correlated."""
+    key = jax.random.PRNGKey(9)
+    x = jax.random.normal(key, (4, 16)) * SIGMA_MAX
+
+    def run(steps, noise_key):
+        sigmas = sampling.get_sigmas_karras(steps, SIGMA_MIN, SIGMA_MAX)
+        ns = sampling.BrownianTreeNoiseSampler(x, SIGMA_MIN, SIGMA_MAX, noise_key)
+        return np.asarray(sampling.sample_dpmpp_2m_sde(
+            gaussian_denoiser, x, sigmas, key=noise_key, noise_sampler=ns))
+
+    nk = jax.random.fold_in(key, 7)
+    a20, a40 = run(20, nk), run(40, nk)
+    # different seed at the same step counts
+    nk2 = jax.random.fold_in(key, 8)
+    b40 = run(40, nk2)
+    same_seed_dist = np.abs(a20 - a40).mean()
+    diff_seed_dist = np.abs(a40 - b40).mean()
+    assert same_seed_dist < diff_seed_dist
