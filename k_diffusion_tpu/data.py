@@ -18,7 +18,6 @@ auto-download.
 import gzip
 import importlib.util
 import pickle
-import queue
 import struct
 import threading
 from pathlib import Path

@@ -19,10 +19,11 @@ refs):
 
 from typing import Any, Tuple
 
+import math
+
 import flax.linen as nn
 import jax
 import jax.numpy as jnp
-import math
 
 from .. import ops
 from ..layers import FourierFeatures

@@ -28,8 +28,8 @@ Architecture parity notes (reference line refs):
   (:721-740)
 """
 
-from dataclasses import dataclass, field
-from typing import Any, Optional, Tuple, Union
+from dataclasses import dataclass
+from typing import Any, Tuple, Union
 
 import flax.linen as nn
 import jax

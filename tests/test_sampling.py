@@ -2,8 +2,6 @@
 Brownian-tree invariants, and solver convergence on an analytically solvable
 denoiser (Gaussian data => exact posterior mean; SURVEY.md §4)."""
 
-import functools
-
 import jax
 import jax.numpy as jnp
 import numpy as np

@@ -83,6 +83,8 @@ def main():
                    help="the number of images to sample for demo grids")
     p.add_argument("--save-every", type=int, default=10000,
                    help="save every this many steps")
+    p.add_argument("--profile-dir", type=str,
+                   help="capture a jax.profiler trace of steps 10-15 to this dir")
     p.add_argument("--seed", type=int, help="the random seed")
     p.add_argument("--wandb-entity", type=str, help="the wandb entity name")
     p.add_argument("--wandb-group", type=str, help="the wandb group name")
@@ -402,14 +404,20 @@ def main():
                 dev_batch = {k: jax.device_put(v, sharding_batch)
                              for k, v in dev_batch.items()}
 
+                if args.profile_dir and step == 10:
+                    jax.profiler.start_trace(args.profile_dir)
                 step_key = jax.random.fold_in(jax.random.PRNGKey(seed + 3), step)
                 ema_decay = ema_sched.get_value()
                 state, metrics = train_step(state, dev_batch, step_key, ema_decay)
+                if args.profile_dir and step == 15:
+                    jax.tree_util.tree_map(
+                        lambda x: x.block_until_ready(), metrics)
+                    jax.profiler.stop_trace()
+                    print(f"Saved profiler trace to {args.profile_dir}")
 
-                loss = float(metrics["loss"])
-                losses_since_last_print.append(loss)
-                K.utils.ema_update_dict(host["ema_stats"], {"loss": loss},
-                                        ema_decay ** (1 / accum))
+                # keep losses as device scalars; sync to host only at the
+                # print cadence so the device pipeline stays full
+                losses_since_last_print.append((metrics["loss"], ema_decay))
                 ema_sched.step()
                 if args.gns:
                     gns_stats.update(
@@ -418,9 +426,16 @@ def main():
                         args.batch_size, args.batch_size * accum)
                 host["elapsed"] += time.time() - t0
 
-                if step % 25 == 0:
-                    loss_disp = sum(losses_since_last_print) / len(losses_since_last_print)
+                if step % 25 == 0 or use_wandb:
+                    for dev_loss, decay in losses_since_last_print:
+                        K.utils.ema_update_dict(
+                            host["ema_stats"], {"loss": float(dev_loss)},
+                            decay ** (1 / accum))
+                    loss_vals = [float(l) for l, _ in losses_since_last_print]
+                    loss = loss_vals[-1]
                     losses_since_last_print.clear()
+                if step % 25 == 0:
+                    loss_disp = sum(loss_vals) / len(loss_vals)
                     avg_loss = host["ema_stats"]["loss"]
                     gns_str = f", gns: {gns_stats.get_gns():g}" if args.gns else ""
                     print(f"Epoch: {epoch}, step: {step}, loss: {loss_disp:g}, "
