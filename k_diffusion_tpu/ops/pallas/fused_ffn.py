@@ -1,0 +1,109 @@
+"""Fused AdaRMSNorm + GEGLU feed-forward block as one Pallas TPU kernel.
+
+The HDiT FF block (reference image_transformer_v2.py:479-493) is
+``x + down(gelu-gate(up(adarmsnorm(x, cond))))``. Composed from XLA ops this
+costs ~6 HBM round trips of the activation tensor per block; the reference
+leans on torch.compile for the same fusion problem. This kernel keeps a token
+tile in VMEM through norm -> up-projection -> GEGLU -> down-projection ->
+skip-add, reading x once and writing the output once; both weight matrices
+stay VMEM-resident across the token grid.
+
+Forward-only fusion: the backward pass recomputes through the unfused XLA
+composition via custom_vjp (sampling — the headline metric — never
+differentiates; training takes the XLA path's VJP at unchanged speed).
+"""
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+
+TOKEN_BLOCK = 512
+
+
+def _ffn_reference(x, scale, w_up, w_down, eps):
+    """Unfused spec (and the backward-pass path)."""
+    dtype = jnp.promote_types(x.dtype, jnp.float32)
+    mean_sq = jnp.mean(jax.lax.square(x.astype(dtype)), axis=-1, keepdims=True)
+    xn = (x * (scale.astype(dtype)[:, None, :]
+               * jax.lax.rsqrt(mean_sq + eps)).astype(x.dtype))
+    up = jnp.einsum("bte,ef->btf", xn, w_up.astype(x.dtype))
+    a, gate = jnp.split(up, 2, axis=-1)
+    h = a * jax.nn.gelu(gate, approximate=False)
+    return x + jnp.einsum("btf,fe->bte", h, w_down.astype(x.dtype))
+
+
+def _ffn_kernel(x_ref, scale_ref, w_up_ref, w_down_ref, o_ref, *, eps, d_ff):
+    x = x_ref[0]                       # (T, d)
+    scale = scale_ref[0]               # (1, d)
+    xf = x.astype(jnp.float32)
+    mean_sq = jnp.mean(xf * xf, axis=-1, keepdims=True)
+    norm = scale.astype(jnp.float32) * jax.lax.rsqrt(mean_sq + eps)
+    xn = (xf * norm).astype(x.dtype)
+    up = jax.lax.dot_general(
+        xn, w_up_ref[...], dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)  # (T, 2f)
+    a = up[:, :d_ff]
+    gate = up[:, d_ff:]
+    # erf-gelu; Mosaic has no erf primitive, so use the Abramowitz-Stegun
+    # 7.1.26 rational approximation (max abs error 1.5e-7, far below bf16)
+    z = gate * (2.0 ** -0.5)
+    az = jnp.abs(z)
+    tt = 1.0 / (1.0 + 0.3275911 * az)
+    poly = tt * (0.254829592 + tt * (-0.284496736 + tt * (
+        1.421413741 + tt * (-1.453152027 + tt * 1.061405429))))
+    erf_abs = 1.0 - poly * jnp.exp(-az * az)
+    erf = jnp.sign(z) * erf_abs
+    gelu = 0.5 * gate * (1.0 + erf)
+    h = (a * gelu).astype(x.dtype)
+    out = jax.lax.dot_general(
+        h, w_down_ref[...], dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    o_ref[0] = (out + xf).astype(o_ref.dtype)
+
+
+def _ffn_fwd(x, scale, w_up, w_down, eps, block):
+    b, t, d = x.shape
+    d_ff = w_down.shape[0]
+    grid = (b, pl.cdiv(t, block))
+    return pl.pallas_call(
+        functools.partial(_ffn_kernel, eps=eps, d_ff=d_ff),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, block, d), lambda i, j: (i, j, 0)),
+            pl.BlockSpec((1, 1, d), lambda i, j: (i, 0, 0)),
+            pl.BlockSpec((d, 2 * d_ff), lambda i, j: (0, 0)),
+            pl.BlockSpec((d_ff, d), lambda i, j: (0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, block, d), lambda i, j: (i, j, 0)),
+        out_shape=jax.ShapeDtypeStruct(x.shape, x.dtype),
+    )(x, scale[:, None, :], w_up, w_down)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5))
+def _fused_ffn_inner(x, scale, w_up, w_down, eps, block):
+    return _ffn_fwd(x, scale, w_up, w_down, eps, block)
+
+def _fused_ffn_inner_fwd(x, scale, w_up, w_down, eps, block):
+    return _ffn_fwd(x, scale, w_up, w_down, eps, block), (x, scale, w_up, w_down)
+
+def _fused_ffn_inner_bwd(eps, block, res, g):
+    x, scale, w_up, w_down = res
+    _, vjp = jax.vjp(lambda *a: _ffn_reference(*a, eps), x, scale, w_up, w_down)
+    return vjp(g)
+
+_fused_ffn_inner.defvjp(_fused_ffn_inner_fwd, _fused_ffn_inner_bwd)
+
+
+def fused_geglu_ffn(x, scale, w_up, w_down, eps=1e-6, block=TOKEN_BLOCK):
+    """x: (b, tokens, d); scale: (b, d) AdaRMSNorm scale (proj(cond)+1);
+    w_up: (d, 2*d_ff); w_down: (d_ff, d). Returns x + FFN(norm(x))."""
+    b, t, d = x.shape
+    d_ff = w_down.shape[0]
+    use_pallas = (jax.default_backend() == "tpu" and t % block == 0
+                  and d % 128 == 0 and d_ff % 128 == 0)
+    if not use_pallas:
+        return _ffn_reference(x, scale, w_up, w_down, eps)
+    return _fused_ffn_inner(x, scale, w_up.astype(x.dtype),
+                            w_down.astype(x.dtype), eps, block)

@@ -202,3 +202,23 @@ def test_down_up_roundtrip_smooth():
     y = upsample2d(downsample2d(img, "lanczos3"), "lanczos3")
     err = np.abs(np.asarray(y - img))[0, 2:-2, 2:-2]
     assert err.max() < 0.05
+
+
+def test_fused_ffn_reference_path():
+    """fused_geglu_ffn falls back to the XLA composition off-TPU; check the
+    composition against a hand-rolled spec."""
+    from k_diffusion_tpu.ops.pallas import fused_ffn as ff
+    key = jax.random.PRNGKey(0)
+    ks = jax.random.split(key, 4)
+    b, t, d, f = 2, 64, 32, 64
+    x = jax.random.normal(ks[0], (b, t, d))
+    scale = jax.random.normal(ks[1], (b, d)) * 0.1 + 1
+    w_up = jax.random.normal(ks[2], (d, 2 * f)) * 0.1
+    w_down = jax.random.normal(ks[3], (f, d)) * 0.1
+    out = ff.fused_geglu_ffn(x, scale, w_up, w_down)
+    # spec
+    xn = ops.rms_norm(x, scale[:, None, :])
+    up = xn @ w_up
+    a, gate = jnp.split(up, 2, axis=-1)
+    expected = x + (a * jax.nn.gelu(gate, approximate=False)) @ w_down
+    np.testing.assert_allclose(np.asarray(out), np.asarray(expected), atol=1e-4)
