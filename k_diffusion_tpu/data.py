@@ -194,20 +194,26 @@ class SyntheticDataset:
 
 
 class HFDataset:
-    """HuggingFace datasets wrapper (reference train.py:211-215)."""
+    """HuggingFace datasets wrapper (reference train.py:211-215); surfaces a
+    class label when ``class_key`` is configured (reference train.py:236)."""
 
-    def __init__(self, location, size, image_key="image"):
+    def __init__(self, location, size, image_key="image", class_key=None):
         from datasets import load_dataset
         self.ds = load_dataset(location)["train"]
         self.size = size
         self.image_key = image_key
+        self.class_key = class_key
 
     def __len__(self):
         return len(self.ds)
 
     def __getitem__(self, i):
-        img = self.ds[i][self.image_key].convert("RGB")
-        return {"image": _resize_center_crop(img, self.size)}
+        item = self.ds[i]
+        img = item[self.image_key].convert("RGB")
+        out = {"image": _resize_center_crop(img, self.size)}
+        if self.class_key is not None:
+            out["class"] = int(item[self.class_key])
+        return out
 
 
 def make_dataset(dataset_config, size, config_dir=None):
@@ -223,7 +229,8 @@ def make_dataset(dataset_config, size, config_dir=None):
     if dtype == "cifar10":
         return CIFAR10Dataset(location, size)
     if dtype == "huggingface":
-        return HFDataset(location, size, dataset_config.get("image_key", "image"))
+        return HFDataset(location, size, dataset_config.get("image_key", "image"),
+                         dataset_config.get("class_key"))
     if dtype == "synthetic":
         return SyntheticDataset(
             size=size, channels=dataset_config.get("channels", 3),
