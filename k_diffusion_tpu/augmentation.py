@@ -3,11 +3,12 @@
 Re-design of reference k_diffusion/augmentation.py: the reference composes
 3x3 matrices per image and warps on CPU in DataLoader workers with
 skimage order-3 splines (augmentation.py:32-89). Here the whole pipeline —
-matrix composition, keyed randomness, and a bicubic (Catmull-Rom) affine
-warp with reflect boundary — is a pure jittable/vmappable function, so
-augmentation can run batched on the accelerator (or on host CPU via jax)
-instead of per-image in Python workers. The 9-dim conditioning vector and
-the augmentation distributions match the reference exactly.
+matrix composition, keyed randomness, and an EXACT order-3 B-spline affine
+warp (DCT-domain prefilter; matches scipy/skimage's reflect-mode spline to
+machine precision) — is a pure jittable/vmappable function, so augmentation
+runs batched on the accelerator instead of per-image in Python workers. The
+9-dim conditioning vector and the augmentation distributions match the
+reference exactly.
 
 Coordinate convention follows the reference (which uses PIL's (width,
 height) via ``image.size``, so its 'h' is the width): matrices act on
@@ -67,12 +68,44 @@ def _cubic_weights(t):
     return jnp.stack([w0, w1, w2, w3])
 
 
+def _bspline3_weights(t):
+    """Cubic B-spline basis weights for the 4 taps around fractional t."""
+    t2 = t * t
+    t3 = t2 * t
+    w0 = (1 - 3 * t + 3 * t2 - t3) / 6
+    w1 = (4 - 6 * t2 + 3 * t3) / 6
+    w2 = (1 + 3 * t + 3 * t2 - 3 * t3) / 6
+    w3 = t3 / 6
+    return jnp.stack([w0, w1, w2, w3])
+
+
+def spline_prefilter(img):
+    """Exact cubic-B-spline prefilter with 'reflect' (half-sample symmetric)
+    boundaries, computed in the DCT-II domain: convolution by the B3 kernel
+    [1,4,1]/6 is diagonal there, so deconvolution is one divide. This is the
+    TPU-native (FFT-based, batched) equivalent of scipy/skimage's recursive
+    IIR spline_filter — matches scipy.ndimage.spline_filter(order=3,
+    mode='reflect') to machine precision."""
+    import jax.scipy.fft as jfft
+
+    for axis in (0, 1):
+        n = img.shape[axis]
+        k = jnp.arange(n, dtype=img.dtype)
+        h = (2 + jnp.cos(jnp.pi * k / n)) / 3
+        shape = [1, 1, 1]
+        shape[axis] = n
+        coef = jfft.dct(img, type=2, axis=axis, norm="ortho") / h.reshape(shape)
+        img = jfft.idct(coef, type=2, axis=axis, norm="ortho")
+    return img
+
+
 def affine_warp(image, mat, order=3):
     """Warps HWC ``image`` by the affine matrix ``mat`` (output coords =
     mat @ input coords, like skimage warp(image, AffineTransform(mat).inverse)
-    at reference augmentation.py:81-83). Bicubic Catmull-Rom (order 3, the
-    default, approximating skimage's order-3 spline), bilinear (1), or
-    nearest (0); 'reflect' boundary."""
+    at reference augmentation.py:81-83). Orders: 3 = exact cubic B-spline
+    with DCT prefilter (matches the reference's skimage order-3 'reflect'
+    warp), "catmull-rom" = bicubic without prefilter, 1 = bilinear,
+    0 = nearest. 'reflect' boundary throughout."""
     h, w, c = image.shape
     inv = jnp.linalg.inv(mat.astype(jnp.float32))
     yy, xx = jnp.meshgrid(jnp.arange(h, dtype=jnp.float32),
@@ -100,13 +133,18 @@ def affine_warp(image, mat, order=3):
                 out = out + wgt * image[iy, ix]
         return out
 
-    # bicubic
+    # cubic: exact B-spline (with prefiltered coefficients) or Catmull-Rom
+    if order == 3:
+        image = spline_prefilter(image)
+        weight_fn = _bspline3_weights
+    else:  # "catmull-rom"
+        weight_fn = _cubic_weights
     x0 = jnp.floor(x_in).astype(jnp.int32)
     y0 = jnp.floor(y_in).astype(jnp.int32)
     fx = x_in - x0
     fy = y_in - y0
-    wx = _cubic_weights(fx)  # (4, h, w)
-    wy = _cubic_weights(fy)
+    wx = weight_fn(fx)  # (4, h, w)
+    wy = weight_fn(fy)
     out = 0.0
     for dy in range(4):
         iy = _reflect_index(y0 + dy - 1, h)

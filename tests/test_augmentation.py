@@ -105,3 +105,33 @@ def test_augment_wrapper_packs_mapping_cond():
     assert seen["mc"].shape == (2, 9)
     fn(x, jnp.ones([2]), aug_cond=jnp.full([2, 9], 2.0), mapping_cond=jnp.ones([2, 3]))
     assert seen["mc"].shape == (2, 12)
+
+
+def test_order3_warp_matches_scipy_exactly():
+    """The order-3 path (DCT prefilter + B-spline sampling) must match
+    scipy.ndimage.affine_transform(order=3, mode='reflect') — the exact
+    machinery behind the reference's skimage warp (augmentation.py:81-83)."""
+    scipy_ndimage = pytest.importorskip("scipy.ndimage")
+    rng = np.random.RandomState(0)
+    img = rng.rand(24, 20, 2).astype(np.float64)
+    theta = 0.4
+    mat_xy = np.array([[np.cos(theta), -np.sin(theta), 2.0],
+                       [np.sin(theta), np.cos(theta), -1.0],
+                       [0, 0, 1]])
+    out = np.asarray(aug.affine_warp(jnp.asarray(img), jnp.asarray(mat_xy), order=3))
+    inv = np.linalg.inv(mat_xy)
+    m_rc = np.array([[inv[1, 1], inv[1, 0]], [inv[0, 1], inv[0, 0]]])
+    off = np.array([inv[1, 2], inv[0, 2]])
+    ref = np.stack([scipy_ndimage.affine_transform(
+        img[..., c], m_rc, offset=off, order=3, mode="reflect")
+        for c in range(2)], axis=-1)
+    np.testing.assert_allclose(out, ref, atol=1e-5)
+
+
+def test_spline_prefilter_matches_scipy():
+    scipy_ndimage = pytest.importorskip("scipy.ndimage")
+    rng = np.random.RandomState(1)
+    img = rng.rand(16, 12, 1).astype(np.float64)
+    mine = np.asarray(aug.spline_prefilter(jnp.asarray(img)))[..., 0]
+    ref = scipy_ndimage.spline_filter(img[..., 0], order=3, mode="reflect")
+    np.testing.assert_allclose(mine, ref, atol=1e-6)
