@@ -44,6 +44,12 @@ def make_optimizer(config, param_labels, mapping_lr_scale=1 / 3, max_grad_norm=1
             return optax.adamw(
                 sched, b1=opt_config["betas"][0], b2=opt_config["betas"][1],
                 eps=opt_config["eps"], weight_decay=weight_decay)
+        if opt_config["type"] == "adam8bit":
+            # bitsandbytes Adam8bit analog: blockwise int8 moment state
+            from .optim8bit import adamw8bit
+            return adamw8bit(
+                sched, b1=opt_config["betas"][0], b2=opt_config["betas"][1],
+                eps=opt_config["eps"], weight_decay=weight_decay)
         if opt_config["type"] == "sgd":
             tx = optax.sgd(sched, momentum=opt_config.get("momentum", 0.0),
                            nesterov=opt_config.get("nesterov", False))

@@ -247,3 +247,62 @@ def test_dataloader_uses_native_for_folders(tmp_path):
     batch = next(iter(dl))
     assert dl._use_native()
     assert batch["image"].shape == (4, 32, 32, 3)
+
+
+def test_adam8bit_tracks_adamw():
+    """Blockwise int8 Adam must track fp32 Adam closely on a quadratic."""
+    import optax
+    from k_diffusion_tpu.optim8bit import adamw8bit
+
+    def loss(p):
+        return jnp.sum((p["w"] - 3.0) ** 2) + jnp.sum((p["b"] + 1.0) ** 2)
+
+    params8 = {"w": jnp.zeros([4096]), "b": jnp.zeros([100])}
+    params32 = jax.tree_util.tree_map(jnp.copy, params8)
+    opt8 = adamw8bit(1e-1)
+    opt32 = optax.adamw(1e-1)
+    s8, s32 = opt8.init(params8), opt32.init(params32)
+
+    @jax.jit
+    def step(params, s, opt_idx):
+        g = jax.grad(loss)(params)
+        return g
+
+    for i in range(50):
+        g8 = jax.grad(loss)(params8)
+        u8, s8 = opt8.update(g8, s8, params8)
+        params8 = optax.apply_updates(params8, u8)
+        g32 = jax.grad(loss)(params32)
+        u32, s32 = opt32.update(g32, s32, params32)
+        params32 = optax.apply_updates(params32, u32)
+    # both converge toward the optimum and agree closely
+    assert abs(float(params8["w"][0]) - float(params32["w"][0])) < 0.05
+    assert float(loss(params8)) < float(loss({"w": jnp.zeros([4096]), "b": jnp.zeros([100])})) * 0.1
+    # int8 state really is int8
+    assert s8[0].mu["w"].q.dtype == jnp.int8
+
+
+def test_adam8bit_in_train_step():
+    cfg = config_mod.load_config(TINY_CONFIG)
+    cfg["optimizer"]["type"] = "adam8bit"
+    model = config_mod.make_model(cfg)
+    key = jax.random.PRNGKey(0)
+    v = model.init(key, jnp.zeros([1, 16, 16, 3]), jnp.ones([1]),
+                   class_cond=jnp.zeros([1], jnp.int32))
+    from k_diffusion_tpu.models import image_transformer_v2 as itv2
+    labels = itv2.param_group_labels(v["params"])
+    opt = training.make_optimizer(cfg, labels)
+    state = training.init_train_state(
+        model, opt, key, {"reals": jnp.zeros([2, 16, 16, 3]),
+                          "class_cond": jnp.zeros([2], jnp.int32)})
+    density = config_mod.make_sample_density(cfg["model"])
+    den_factory = config_mod.make_denoiser_wrapper(cfg)
+    step = training.make_train_step(model, den_factory, density, opt,
+                                    num_classes=4, cond_dropout_rate=0.1)
+    batch = {"reals": jax.random.uniform(key, (1, 8, 16, 16, 3)) * 2 - 1,
+             "class_cond": jax.random.randint(key, (1, 8), 0, 4)}
+    losses = []
+    for i in range(10):
+        state, m = step(state, batch, jax.random.fold_in(key, i), 0.95)
+        losses.append(float(m["loss"]))
+    assert losses[-1] < losses[0]
