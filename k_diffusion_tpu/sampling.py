@@ -811,3 +811,52 @@ def sample_dpmpp_3m_sde(model, x, sigmas, extra_args=None, callback=None, key=No
             jnp.float32(1.0), jnp.int32(0))
     (x, _, _, _, _, _), _ = jax.lax.scan(body, init, jnp.arange(n))
     return x
+
+
+def __getattr__(name):
+    # the reference exposes log_likelihood from sampling (sampling.py:280);
+    # ours lives in ode.py (lazy import avoids the circular dependency)
+    if name == "log_likelihood":
+        from .ode import log_likelihood
+        return log_likelihood
+    raise AttributeError(f"module {__name__!r} has no attribute {name!r}")
+
+
+class DPMSolver:
+    """Thin object interface over the DPM-Solver step functions for API
+    parity with the reference's DPMSolver class (sampling.py:333-478)."""
+
+    def __init__(self, model, extra_args=None):
+        self.model = model
+        self.extra_args = {} if extra_args is None else extra_args
+
+    def t(self, sigma):
+        return -jnp.log(sigma)
+
+    def sigma(self, t):
+        return jnp.exp(-t)
+
+    def eps(self, x, t):
+        return _dpm_eps(self.model, self.extra_args, x, t)[0]
+
+    def dpm_solver_1_step(self, x, t, t_next):
+        eps, _ = _dpm_eps(self.model, self.extra_args, x, t)
+        return _dpm_solver_1_step(self.model, self.extra_args, x, t, t_next, eps)
+
+    def dpm_solver_2_step(self, x, t, t_next, r1=1 / 2):
+        eps, _ = _dpm_eps(self.model, self.extra_args, x, t)
+        out, _ = _dpm_solver_2_step(self.model, self.extra_args, x, t, t_next,
+                                    eps, r1=r1)
+        return out
+
+    def dpm_solver_3_step(self, x, t, t_next, r1=1 / 3, r2=2 / 3):
+        eps, _ = _dpm_eps(self.model, self.extra_args, x, t)
+        return _dpm_solver_3_step(self.model, self.extra_args, x, t, t_next,
+                                  eps, r1=r1, r2=r2)
+
+    def dpm_solver_fast(self, x, t_start, t_end, nfe, eta=0.0, s_noise=1.0,
+                        noise_sampler=None, key=None):
+        return sample_dpm_fast(
+            self.model, x, float(jnp.exp(-t_end)), float(jnp.exp(-t_start)),
+            nfe, extra_args=self.extra_args, eta=eta, s_noise=s_noise,
+            noise_sampler=noise_sampler, key=key)
