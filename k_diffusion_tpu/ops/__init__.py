@@ -15,6 +15,7 @@ from .rope import (
     downscale_pos,
     make_axial_pos,
 )
+from . import pallas
 from .attention import (
     global_attention,
     neighborhood_attention,
@@ -29,6 +30,7 @@ __all__ = [
     "rms_norm", "scale_for_cosine_sim", "linear_geglu",
     "apply_rotary_emb", "axial_rope_freqs", "bounding_box", "centers",
     "downscale_pos", "make_axial_pos",
+    "pallas",
     "global_attention", "neighborhood_attention", "neighborhood_mask_1d",
     "shifted_window_attention", "make_shifted_window_masks",
     "window_partition", "window_unpartition",
