@@ -164,10 +164,23 @@ class SelfAttentionBlock(nn.Module):
             if self.tp_axis:
                 out = ops.neighborhood_attention(
                     q, k, v, self.attn_spec.kernel_size, scale=1.0)
+                x = out.reshape(b, h, w, n_heads * self.d_head)
+            elif deterministic:
+                # inference: channel-packed kernel — heads stay in the
+                # channel dim, so no (b,h,w,heads,e)->(b*heads,h,w,e)
+                # transposes are paid (+17% sampling throughput)
+                from ..ops.pallas.na2d import na2d_packed
+                c = n_heads * self.d_head
+                x = na2d_packed(
+                    q.reshape(b, h, w, c), k.reshape(b, h, w, c),
+                    v.reshape(b, h, w, c), n_heads,
+                    self.attn_spec.kernel_size, scale=1.0)
             else:
+                # training: per-head kernel (its hand-written backward is
+                # much faster than the packed kernel's recompute path)
                 from ..ops.pallas import na2d
                 out = na2d(q, k, v, self.attn_spec.kernel_size, scale=1.0)
-            x = out.reshape(b, h, w, n_heads * self.d_head)
+                x = out.reshape(b, h, w, n_heads * self.d_head)
         elif isinstance(self.attn_spec, ShiftedWindowAttentionSpec):
             # layers alternate unshifted/shifted (reference :520-524)
             window_shift = self.attn_spec.window_size // 2 if self.shifted else 0

@@ -1,8 +1,32 @@
 """Hand-written Pallas TPU kernels (the NATTEN / FlashAttention-2
 replacements; reference image_transformer_v2.py:343-443)."""
 
-from .na2d import na2d, na2d_reference
-from .flash import flash_attention
-from .fused_ffn import fused_geglu_ffn
+import contextlib
 
-__all__ = ["na2d", "na2d_reference", "flash_attention", "fused_geglu_ffn"]
+_FORCE_XLA = False
+
+
+@contextlib.contextmanager
+def force_xla():
+    """Routes all attention dispatchers to their pure-XLA paths. Needed for
+    forward-mode autodiff (jax.jvp, e.g. log_likelihood) which custom_vjp
+    Pallas kernels do not support."""
+    global _FORCE_XLA
+    old = _FORCE_XLA
+    _FORCE_XLA = True
+    try:
+        yield
+    finally:
+        _FORCE_XLA = old
+
+
+def xla_forced():
+    return _FORCE_XLA
+
+
+from .na2d import na2d, na2d_packed, na2d_reference  # noqa: E402
+from .flash import flash_attention  # noqa: E402
+from .fused_ffn import fused_geglu_ffn  # noqa: E402
+
+__all__ = ["na2d", "na2d_packed", "na2d_reference", "flash_attention",
+           "fused_geglu_ffn", "force_xla", "xla_forced"]

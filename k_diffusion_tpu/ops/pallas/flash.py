@@ -174,7 +174,8 @@ def flash_attention(q, k, v, scale=1.0, q_block=DEFAULT_Q_BLOCK):
     """Exact global attention. q,k,v: (batch, seq, heads, head_dim).
     Pallas on TPU for seq <= MAX_PALLAS_SEQ (larger falls back to XLA)."""
     b, s, heads, e = q.shape
-    if (jax.default_backend() != "tpu" or s > MAX_PALLAS_SEQ
+    from . import xla_forced
+    if (jax.default_backend() != "tpu" or xla_forced() or s > MAX_PALLAS_SEQ
             or s < max(q_block, MIN_PALLAS_SEQ)):
         return jax.nn.dot_product_attention(q, k, v, scale=scale)
 

@@ -351,7 +351,8 @@ _na2d_inner.defvjp(_na2d_inner_fwd, _na2d_inner_bwd)
 
 
 def _use_pallas(h, w, kernel_size, tile):
-    if jax.default_backend() != "tpu":
+    from . import xla_forced
+    if jax.default_backend() != "tpu" or xla_forced():
         return False
     kr = tile + kernel_size - 1
     return (h >= kr and w >= kr and h % tile == 0 and w % tile == 0
@@ -373,3 +374,114 @@ def na2d(q, k, v, kernel_size, scale=1.0, tile=DEFAULT_TILE):
         return jnp.moveaxis(t, 3, 1).reshape(b * heads, h, w, e)
     out = _na2d_inner(pack(q), pack(k), pack(v), kernel_size, scale, tile)
     return jnp.moveaxis(out.reshape(b, heads, h, w, e), 1, 3)
+
+
+# --- channel-packed variant -------------------------------------------------
+# The model's natural activation layout is (b, h, w, heads*e) (a free reshape
+# of the qkv projection output). The standard entry point transposes heads
+# into the grid dimension, which costs HBM round trips; this variant keeps
+# the packed layout and computes per-head attention with head-masked
+# matmuls: zeroing the other heads' channels in q restricts q @ k^T to one
+# head's subspace, and masking v restricts the AV product's output channels,
+# so per-head results accumulate directly into the packed output. FLOP
+# overhead is x heads on the attention matmuls — cheap next to the removed
+# transposes at the head counts diffusion models use (2-8).
+
+
+def _na_packed_fwd_kernel(q_ref, k_ref, v_ref, mask_ref, o_ref, *,
+                          kernel_size, tq, h, w, scale, n_heads):
+    c = q_ref.shape[-1]
+    e = c // n_heads
+    nq = tq * tq
+    ks = k_ref[0, 0, 0]  # (nk, c)
+    vs = v_ref[0, 0, 0]
+    q = q_ref[0].reshape(nq, c)
+    mask = mask_ref[0, 0]
+    nk = ks.shape[0]
+
+    lane = jax.lax.broadcasted_iota(jnp.int32, (nq, c), 1)
+    lane_k = jax.lax.broadcasted_iota(jnp.int32, (nk, c), 1)
+    out = jnp.zeros((nq, c), jnp.float32)
+    for head in range(n_heads):
+        q_h = jnp.where((lane // e) == head, q, 0).astype(q.dtype)
+        s = jax.lax.dot_general(
+            q_h, ks, dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32) * scale
+        p = jnp.exp(s) * mask
+        l = jnp.sum(p, axis=1, keepdims=True)
+        v_h = jnp.where((lane_k // e) == head, vs, 0).astype(vs.dtype)
+        out = out + jax.lax.dot_general(
+            (p / l).astype(q.dtype), v_h,
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+    o_ref[0] = out.reshape(tq, tq, c).astype(o_ref.dtype)
+
+
+def _na_packed_fwd(q, k, v, kernel_size, scale, tile, n_heads):
+    b, h, w, c = q.shape
+    tq = tile
+    nrb, ncb = h // tq, w // tq
+    grid = (b, nrb, ncb)
+    masks = jnp.asarray(_fwd_masks(h, w, kernel_size, tq))
+    nq, nk = masks.shape[2], masks.shape[3]
+    k_halo = _extract_halos(k, kernel_size, tq)
+    v_halo = _extract_halos(v, kernel_size, tq)
+    halo_spec = pl.BlockSpec((1, 1, 1, nk, c), lambda i, j, l: (i, j, l, 0, 0))
+    return pl.pallas_call(
+        functools.partial(_na_packed_fwd_kernel, kernel_size=kernel_size,
+                          tq=tq, h=h, w=w, scale=scale, n_heads=n_heads),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, tq, tq, c), lambda i, j, l: (i, j, l, 0)),
+            halo_spec,
+            halo_spec,
+            pl.BlockSpec((1, 1, nq, nk), lambda i, j, l: (j, l, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, tq, tq, c), lambda i, j, l: (i, j, l, 0)),
+        out_shape=jax.ShapeDtypeStruct(q.shape, q.dtype),
+    )(q, k_halo, v_halo, masks)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6))
+def _na2d_packed_inner(q, k, v, kernel_size, scale, tile, n_heads):
+    return _na_packed_fwd(q, k, v, kernel_size, scale, tile, n_heads)
+
+def _na2d_packed_fwd_rule(q, k, v, kernel_size, scale, tile, n_heads):
+    out = _na_packed_fwd(q, k, v, kernel_size, scale, tile, n_heads)
+    return out, (q, k, v)
+
+def _na2d_packed_bwd_rule(kernel_size, scale, tile, n_heads, res, dout):
+    # backward via the per-head kernels: unpack to (b*heads, h, w, e),
+    # recompute the forward (for out/lse residuals), run the dq/dkv kernels,
+    # repack. The transposes this reintroduces only affect training.
+    q, k, v = res
+    b, h, w, c = q.shape
+    e = c // n_heads
+
+    def pack(t):
+        return jnp.moveaxis(t.reshape(b, h, w, n_heads, e), 3, 1) \
+            .reshape(b * n_heads, h, w, e)
+
+    def unpack(t):
+        return jnp.moveaxis(t.reshape(b, n_heads, h, w, e), 1, 3) \
+            .reshape(b, h, w, c)
+
+    qp, kp, vp, doutp = pack(q), pack(k), pack(v), pack(dout)
+    out, lse = _na_fwd(qp, kp, vp, kernel_size, scale, tile)
+    dq, dk, dv = _na_bwd(kernel_size, scale, tile, (qp, kp, vp, out, lse), doutp)
+    return unpack(dq), unpack(dk), unpack(dv)
+
+_na2d_packed_inner.defvjp(_na2d_packed_fwd_rule, _na2d_packed_bwd_rule)
+
+
+def na2d_packed(q, k, v, n_heads, kernel_size, scale=1.0, tile=DEFAULT_TILE):
+    """Channel-packed 2-D neighborhood attention: q,k,v (b, h, w, heads*e),
+    per-head attention without unpacking heads from the channel dim."""
+    b, h, w, c = q.shape
+    if not _use_pallas(h, w, kernel_size, tile) or c > 512 or c % 128 != 0:
+        e = c // n_heads
+        out = _xla_na(q.reshape(b, h, w, n_heads, e),
+                      k.reshape(b, h, w, n_heads, e),
+                      v.reshape(b, h, w, n_heads, e), kernel_size, scale=scale)
+        return out.reshape(b, h, w, c)
+    return _na2d_packed_inner(q, k, v, kernel_size, scale, tile, n_heads)
