@@ -196,6 +196,28 @@ class SelfAttentionBlock(nn.Module):
         return x + skip
 
 
+class _NormScaleParam(nn.Module):
+    """Owns the AdaRMSNorm projection kernel at the same pytree path an
+    AdaRMSNorm submodule would (<parent>/norm/mapping_linear/kernel), so the
+    fused and unfused FF paths share parameters and checkpoints."""
+
+    d_model: int
+
+    @nn.compact
+    def __call__(self, cond_features):
+        return _KernelParam((cond_features, self.d_model),
+                            nn.initializers.zeros, name="mapping_linear")()
+
+
+class _KernelParam(nn.Module):
+    shape: Tuple[int, ...]
+    init: Any
+
+    @nn.compact
+    def __call__(self):
+        return self.param("kernel", self.init, self.shape)
+
+
 class FeedForwardBlock(nn.Module):
     d_model: int
     d_ff: int
@@ -206,9 +228,28 @@ class FeedForwardBlock(nn.Module):
     @nn.compact
     def __call__(self, x, cond, deterministic=True):
         skip = x
-        x = AdaRMSNorm(dtype=self.dtype, name="norm")(x, cond)
-        up = nn.Dense(self.d_ff * 2, use_bias=False, dtype=self.dtype,
-                      name="up_proj")(x)
+        b, hh, ww, d = x.shape
+        norm_kernel = _NormScaleParam(self.d_model, name="norm")(cond.shape[-1])
+        w_up = _KernelParam((self.d_model, self.d_ff * 2),
+                            nn.initializers.lecun_normal(), name="up_proj")()
+        w_down = _KernelParam((self.d_ff, self.d_model),
+                              nn.initializers.zeros, name="down_proj")()
+        scale = cond @ norm_kernel.astype(cond.dtype) + 1
+
+        t = hh * ww
+        block = 512 if t % 512 == 0 else (256 if t % 256 == 0 else 0)
+        # dropout is inactive when deterministic, so the fused path is exact
+        use_fused = bool(deterministic and not self.tp_axis and block)
+        if use_fused:
+            # inference: one Pallas kernel for norm -> GEGLU up -> down ->
+            # skip (fewer op launches; see PERFORMANCE.md)
+            from ..ops.pallas import fused_geglu_ffn
+            out = fused_geglu_ffn(
+                x.reshape(b, t, d), scale, w_up, w_down, block=block)
+            return out.reshape(b, hh, ww, d)
+
+        x = ops.rms_norm(x, scale[:, None, None, :].astype(self.dtype))
+        up = x @ w_up.astype(self.dtype)
         if self.tp_axis:
             # megatron-style: hidden dim sharded, down_proj reduces
             U = jax.sharding.PartitionSpec.UNCONSTRAINED
@@ -217,8 +258,7 @@ class FeedForwardBlock(nn.Module):
         a, gate = jnp.split(up, 2, axis=-1)
         x = a * nn.gelu(gate, approximate=False)
         x = nn.Dropout(self.dropout)(x, deterministic=deterministic)
-        x = nn.Dense(self.d_model, use_bias=False, dtype=self.dtype,
-                     kernel_init=nn.initializers.zeros, name="down_proj")(x)
+        x = x @ w_down.astype(self.dtype)
         return x + skip
 
 
