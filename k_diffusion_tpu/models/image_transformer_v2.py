@@ -125,63 +125,88 @@ class SelfAttentionBlock(nn.Module):
     def __call__(self, x, pos, cond, deterministic=True):
         n_heads = self.d_model // self.d_head
         skip = x
-        x = AdaRMSNorm(dtype=self.dtype, name="norm")(x, cond)
-        qkv = nn.Dense(self.d_model * 3, use_bias=False, dtype=self.dtype,
-                       name="qkv_proj")(x)
+        b, h, w, _ = x.shape
+        # kernels owned directly (at the same pytree paths the submodule
+        # composition would use) so the fused and unfused prologues share
+        # parameters and checkpoints
+        norm_kernel = _NormScaleParam(self.d_model, name="norm")(cond.shape[-1])
+        w_qkv = _KernelParam((self.d_model, self.d_model * 3),
+                             nn.initializers.lecun_normal(),
+                             name="qkv_proj")()
         scale = self.param("scale", nn.initializers.constant(10.0), (n_heads,))
 
-        b, h, w, _ = qkv.shape
-        qkv = qkv.reshape(b, h, w, 3, n_heads, self.d_head)
-        if self.tp_axis:
-            # tensor parallelism: batch over data, attention heads over the
-            # model axis; XLA partitions everything downstream head-wise
-            U = jax.sharding.PartitionSpec.UNCONSTRAINED
-            qkv = jax.lax.with_sharding_constraint(
-                qkv, jax.sharding.PartitionSpec(
-                    U, None, None, None, self.tp_axis, None))
-        q, k, v = qkv[..., 0, :, :], qkv[..., 1, :, :], qkv[..., 2, :, :]
-        q, k = ops.scale_for_cosine_sim(q, k, scale[:, None], 1e-6)
+        norm_scale = cond.astype(self.dtype) @ norm_kernel.astype(self.dtype) + 1
+        use_fused = bool(deterministic and not self.tp_axis)
+        if use_fused:
+            # inference: norm -> qkv matmul -> cosine-sim -> RoPE as one
+            # Pallas kernel producing channel-packed maps (falls back to the
+            # identical XLA chain off-TPU / under force_xla)
+            from ..ops.pallas import fused_qkv_prologue
+            qp, kp, vp = fused_qkv_prologue(
+                x, pos, norm_scale, w_qkv, scale, n_heads)
+            q = k = v = None
+        else:
+            xn = ops.rms_norm(x, norm_scale[:, None, None, :])
+            qkv = xn @ w_qkv.astype(xn.dtype)
+            qkv = qkv.reshape(b, h, w, 3, n_heads, self.d_head)
+            if self.tp_axis:
+                # tensor parallelism: batch over data, attention heads over
+                # the model axis; XLA partitions everything downstream
+                # head-wise
+                U = jax.sharding.PartitionSpec.UNCONSTRAINED
+                qkv = jax.lax.with_sharding_constraint(
+                    qkv, jax.sharding.PartitionSpec(
+                        U, None, None, None, self.tp_axis, None))
+            q, k, v = qkv[..., 0, :, :], qkv[..., 1, :, :], qkv[..., 2, :, :]
+            q, k = ops.scale_for_cosine_sim(q, k, scale[:, None], 1e-6)
 
-        freqs = ops.axial_rope_freqs(self.d_head // 2, n_heads)
-        theta = ops.rope.axial_rope_theta(pos, freqs)  # (h, w, heads, d_head//4)
-        q = ops.apply_rotary_emb(q, theta)
-        k = ops.apply_rotary_emb(k, theta)
+            freqs = ops.axial_rope_freqs(self.d_head // 2, n_heads)
+            theta = ops.rope.axial_rope_theta(pos, freqs)  # (h,w,heads,e//2)
+            q = ops.apply_rotary_emb(q, theta)
+            k = ops.apply_rotary_emb(k, theta)
 
         # Pallas kernels are not GSPMD-partitionable, so tensor-parallel runs
         # use the pure-XLA attention paths (head-sharded by the constraint
         # above); single-model-axis runs take the Pallas fast path.
+        c = n_heads * self.d_head
         if isinstance(self.attn_spec, GlobalAttentionSpec):
-            qs = q.reshape(b, h * w, n_heads, self.d_head)
-            ks = k.reshape(b, h * w, n_heads, self.d_head)
-            vs = v.reshape(b, h * w, n_heads, self.d_head)
+            if use_fused:
+                qs = qp.reshape(b, h * w, n_heads, self.d_head)
+                ks = kp.reshape(b, h * w, n_heads, self.d_head)
+                vs = vp.reshape(b, h * w, n_heads, self.d_head)
+            else:
+                qs = q.reshape(b, h * w, n_heads, self.d_head)
+                ks = k.reshape(b, h * w, n_heads, self.d_head)
+                vs = v.reshape(b, h * w, n_heads, self.d_head)
             if self.tp_axis:
                 out = ops.global_attention(qs, ks, vs, scale=1.0)
             else:
                 from ..ops.pallas import flash_attention
                 out = flash_attention(qs, ks, vs, scale=1.0)
-            x = out.reshape(b, h, w, n_heads * self.d_head)
+            x = out.reshape(b, h, w, c)
         elif isinstance(self.attn_spec, NeighborhoodAttentionSpec):
             if self.tp_axis:
                 out = ops.neighborhood_attention(
                     q, k, v, self.attn_spec.kernel_size, scale=1.0)
-                x = out.reshape(b, h, w, n_heads * self.d_head)
-            elif deterministic:
+                x = out.reshape(b, h, w, c)
+            elif use_fused:
                 # inference: channel-packed kernel — heads stay in the
                 # channel dim, so no (b,h,w,heads,e)->(b*heads,h,w,e)
                 # transposes are paid (+17% sampling throughput)
                 from ..ops.pallas.na2d import na2d_packed
-                c = n_heads * self.d_head
-                x = na2d_packed(
-                    q.reshape(b, h, w, c), k.reshape(b, h, w, c),
-                    v.reshape(b, h, w, c), n_heads,
-                    self.attn_spec.kernel_size, scale=1.0)
+                x = na2d_packed(qp, kp, vp, n_heads,
+                                self.attn_spec.kernel_size, scale=1.0)
             else:
                 # training: per-head kernel (its hand-written backward is
                 # much faster than the packed kernel's recompute path)
                 from ..ops.pallas import na2d
                 out = na2d(q, k, v, self.attn_spec.kernel_size, scale=1.0)
-                x = out.reshape(b, h, w, n_heads * self.d_head)
+                x = out.reshape(b, h, w, c)
         elif isinstance(self.attn_spec, ShiftedWindowAttentionSpec):
+            if use_fused:
+                q = qp.reshape(b, h, w, n_heads, self.d_head)
+                k = kp.reshape(b, h, w, n_heads, self.d_head)
+                v = vp.reshape(b, h, w, n_heads, self.d_head)
             # layers alternate unshifted/shifted (reference :520-524)
             window_shift = self.attn_spec.window_size // 2 if self.shifted else 0
             out = ops.shifted_window_attention(

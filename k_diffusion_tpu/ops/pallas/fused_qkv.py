@@ -1,0 +1,218 @@
+"""Fused attention prologue: AdaRMSNorm -> qkv projection -> cosine-sim QK
+normalization -> axial RoPE, as ONE Pallas kernel returning packed
+(b, h, w, d) q, k, v maps.
+
+On this runtime each fused XLA op costs ~60 us to launch regardless of size
+(see PERFORMANCE.md), so collapsing the 4-5 ops of the attention prologue
+(the reference runs the same chain through torch.compile-fused pointwise
+kernels around the qkv matmul; image_transformer_v2.py:98-121, 171-248,
+370-395) into one kernel is a direct step-time win on the eval path.
+
+Design notes (all Mosaic-constraint driven):
+- Per-head sum-of-squares for cosine-sim without lane->sublane reshapes:
+  ``ssq = (q*q) @ M`` where M is the (d, d) block-diagonal ones matrix —
+  one MXU op that leaves every lane holding its own head's sum.
+- RoPE without gathers: the half-split rotation (y1 = x1 c - x2 s,
+  y2 = x2 c + x1 s, pair distance e/4 = 16 lanes) is
+  ``x * cosT + laneswap(x) * sinT`` where laneswap exchanges adjacent
+  16-lane blocks (two cyclic lane rolls + a lane-parity select). The host-
+  precomputed cos/sin tables carry the sin sign and 1/0 for unrotated lanes.
+- The tables are built from make_axial_pos(h, w), which equals the model's
+  per-level downscale_pos chain exactly in real arithmetic (mean of interval
+  midpoints == midpoint of the merged interval) and to ~1e-7 in f32 — far
+  below bf16 resolution. The XLA fallback uses the passed-in ``pos`` and is
+  bit-identical to the unfused model path.
+
+Eval-path only: the backward (reverse-mode only, e.g. CLIP-guided sampling)
+recomputes through the plain XLA composition via custom_vjp; training
+routes to the unfused path in the model, and forward-mode (log_likelihood)
+uses the force_xla() escape hatch like the other kernels.
+"""
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .. import norms
+from .. import rope as rope_mod
+
+TOKEN_TILE = 16  # spatial tile edge
+
+
+@functools.lru_cache
+def _rope_tables(h, w, n_heads, d_head):
+    """cos/sin tables (h, w, d) for one of the q/k sections. Within each
+    head: lanes [0, e/2) rotated in pairs (c, c + e/4); lanes [e/2, e)
+    pass through (cos=1, sin=0)."""
+    import math
+    d = n_heads * d_head
+    e = d_head
+    # pure-numpy replicas of ops.rope.axial_rope_freqs / make_axial_pos
+    # (this runs at trace time, so the jnp versions would return tracers)
+    dim = e // 2
+    log_min, log_max = math.log(math.pi), math.log(10.0 * math.pi)
+    freqs = np.exp(np.linspace(log_min, log_max, n_heads * (dim // 4) + 1,
+                               dtype=np.float32)[:-1]).reshape(dim // 4, n_heads).T
+    y_min, y_max, x_min, x_max = rope_mod.bounding_box(h, w)
+    h_edges = np.linspace(y_min, y_max, h + 1, dtype=np.float32)
+    w_edges = np.linspace(x_min, x_max, w + 1, dtype=np.float32)
+    h_pos = (h_edges[:-1] + h_edges[1:]) / 2
+    w_pos = (w_edges[:-1] + w_edges[1:]) / 2
+    pos = np.stack(np.meshgrid(h_pos, w_pos, indexing="ij"), axis=-1)  # (h,w,2)
+    th = pos[..., None, 0:1] * freqs[None, None]
+    tw = pos[..., None, 1:2] * freqs[None, None]
+    theta = np.concatenate([th, tw], axis=-1)                       # (h,w,heads,e//4)
+    cos1 = np.cos(theta)
+    sin1 = np.sin(theta)
+    one = np.ones_like(cos1)
+    zero = np.zeros_like(sin1)
+    cos_t = np.concatenate([cos1, cos1, one, one], axis=-1).reshape(h, w, d)
+    # y1 lanes get -sin, y2 lanes +sin, pass-through lanes 0
+    sin_t = np.concatenate([-sin1, sin1, zero, zero], axis=-1).reshape(h, w, d)
+    return cos_t.astype(np.float32), sin_t.astype(np.float32)
+
+
+def _fused_qkv_kernel(x_ref, nscale_ref, wqkv_ref, rootsc_ref, cos_ref,
+                      sin_ref, oq_ref, ok_ref, ov_ref, *, d, n_heads, eps,
+                      cos_eps):
+    tqh, tqw = x_ref.shape[1], x_ref.shape[2]
+    nq = tqh * tqw
+    e = d // n_heads
+    x = x_ref[0].reshape(nq, d)
+    xf = x.astype(jnp.float32)
+    mean_sq = jnp.mean(xf * xf, axis=-1, keepdims=True)
+    # match ops.norms.rms_norm rounding: combined factor cast to x.dtype
+    factor = (nscale_ref[0].astype(jnp.float32)
+              * jax.lax.rsqrt(mean_sq + eps)).astype(x.dtype)
+    xn = x * factor
+    qkv = jax.lax.dot_general(
+        xn, wqkv_ref[...], dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)  # (nq, 3d) f32
+
+    q = qkv[:, :d]
+    k = qkv[:, d:2 * d]
+    v = qkv[:, 2 * d:]
+
+    # cosine-sim: per-head sum of squares via block-diagonal-ones matmul
+    row = jax.lax.broadcasted_iota(jnp.int32, (d, d), 0) // e
+    col = jax.lax.broadcasted_iota(jnp.int32, (d, d), 1) // e
+    blockdiag = (row == col).astype(jnp.float32)
+    dn = (((1,), (0,)), ((), ()))
+    ssq_q = jax.lax.dot_general(q * q, blockdiag, dimension_numbers=dn,
+                                preferred_element_type=jnp.float32)
+    ssq_k = jax.lax.dot_general(k * k, blockdiag, dimension_numbers=dn,
+                                preferred_element_type=jnp.float32)
+    root = rootsc_ref[0]  # (1, d): sqrt(attn_scale) repeated per head
+    q = q * (root * jax.lax.rsqrt(ssq_q + cos_eps))
+    k = k * (root * jax.lax.rsqrt(ssq_k + cos_eps))
+
+    # RoPE: x * cosT + laneswap(x) * sinT; laneswap swaps adjacent 16-lane
+    # blocks (pair distance e/4 = 16 within the rotated half of each head)
+    qk = jnp.concatenate([q, k], axis=1)  # (nq, 2d)
+    left = pltpu.roll(qk, qk.shape[1] - 16, 1)  # y[i] = x[i+16]
+    right = pltpu.roll(qk, 16, 1)               # y[i] = x[i-16]
+    blk = (jax.lax.broadcasted_iota(jnp.int32, qk.shape, 1) // 16) % 2
+    swapped = jnp.where(blk == 0, left, right)
+    cos_t = cos_ref[...].reshape(nq, d)
+    sin_t = sin_ref[...].reshape(nq, d)
+    cos2 = jnp.concatenate([cos_t, cos_t], axis=1)
+    sin2 = jnp.concatenate([sin_t, sin_t], axis=1)
+    qk = qk * cos2 + swapped * sin2
+
+    oq_ref[0] = qk[:, :d].astype(oq_ref.dtype).reshape(tqh, tqw, d)
+    ok_ref[0] = qk[:, d:].astype(ok_ref.dtype).reshape(tqh, tqw, d)
+    ov_ref[0] = v.astype(ov_ref.dtype).reshape(tqh, tqw, d)
+
+
+def _reference(x, pos, norm_scale, w_qkv, attn_scale, n_heads, eps, cos_eps):
+    """Unfused spec (XLA fallback and custom_vjp backward): bit-identical to
+    the unfused model chain (SelfAttentionBlock)."""
+    b, h, w, d = x.shape
+    e = d // n_heads
+    xn = norms.rms_norm(x, norm_scale[:, None, None, :], eps)
+    qkv = xn @ w_qkv.astype(xn.dtype)
+    qkv = qkv.reshape(b, h, w, 3, n_heads, e)
+    q, k, v = qkv[..., 0, :, :], qkv[..., 1, :, :], qkv[..., 2, :, :]
+    q, k = norms.scale_for_cosine_sim(q, k, attn_scale[:, None], cos_eps)
+    freqs = rope_mod.axial_rope_freqs(e // 2, n_heads)
+    theta = rope_mod.axial_rope_theta(pos, freqs)
+    q = rope_mod.apply_rotary_emb(q, theta)
+    k = rope_mod.apply_rotary_emb(k, theta)
+    return (q.reshape(b, h, w, d), k.reshape(b, h, w, d),
+            v.reshape(b, h, w, d))
+
+
+def _fused_fwd(x, norm_scale, w_qkv, attn_scale, n_heads, eps, cos_eps, tile):
+    b, h, w, d = x.shape
+    cos_t, sin_t = _rope_tables(h, w, n_heads, d // n_heads)
+    grid = (b, h // tile, w // tile)
+    kernel = functools.partial(_fused_qkv_kernel, d=d, n_heads=n_heads,
+                               eps=eps, cos_eps=cos_eps)
+    out_sds = jax.ShapeDtypeStruct((b, h, w, d), x.dtype)
+    out_spec = pl.BlockSpec((1, tile, tile, d), lambda i, j, l: (i, j, l, 0))
+    root = jnp.repeat(jnp.sqrt(attn_scale.astype(jnp.float32)), d // n_heads)
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, tile, tile, d), lambda i, j, l: (i, j, l, 0)),
+            pl.BlockSpec((1, 1, d), lambda i, j, l: (i, 0, 0)),
+            pl.BlockSpec((d, 3 * d), lambda i, j, l: (0, 0)),
+            pl.BlockSpec((1, d), lambda i, j, l: (0, 0)),
+            pl.BlockSpec((tile, tile, d), lambda i, j, l: (j, l, 0)),
+            pl.BlockSpec((tile, tile, d), lambda i, j, l: (j, l, 0)),
+        ],
+        out_specs=(out_spec, out_spec, out_spec),
+        out_shape=(out_sds, out_sds, out_sds),
+    )(x, norm_scale[:, None, :] + 0.0, w_qkv.astype(x.dtype), root[None],
+      jnp.asarray(cos_t), jnp.asarray(sin_t))
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8))
+def _fused_qkv_inner(x, pos, norm_scale, w_qkv, attn_scale, n_heads, eps,
+                     cos_eps, tile):
+    return _fused_fwd(x, norm_scale, w_qkv, attn_scale, n_heads, eps,
+                      cos_eps, tile)
+
+
+def _fused_qkv_fwd_rule(x, pos, norm_scale, w_qkv, attn_scale, n_heads, eps,
+                        cos_eps, tile):
+    out = _fused_fwd(x, norm_scale, w_qkv, attn_scale, n_heads, eps,
+                     cos_eps, tile)
+    return out, (x, pos, norm_scale, w_qkv, attn_scale)
+
+
+def _fused_qkv_bwd_rule(n_heads, eps, cos_eps, tile, res, g):
+    x, pos, norm_scale, w_qkv, attn_scale = res
+    _, vjp = jax.vjp(
+        lambda x_, ns_, wq_, as_: _reference(x_, pos, ns_, wq_, as_, n_heads,
+                                             eps, cos_eps),
+        x, norm_scale, w_qkv, attn_scale)
+    dx, dns, dwq, das = vjp(g)
+    return dx, jnp.zeros_like(pos), dns, dwq, das
+
+
+_fused_qkv_inner.defvjp(_fused_qkv_fwd_rule, _fused_qkv_bwd_rule)
+
+
+def fused_qkv_prologue(x, pos, norm_scale, w_qkv, attn_scale, n_heads,
+                       eps=1e-6, cos_eps=1e-6, tile=TOKEN_TILE):
+    """x (b,h,w,d); pos (h,w,2) axial positions (used by the XLA fallback;
+    the kernel rebuilds the identical grid host-side); norm_scale (b,d) =
+    AdaRMSNorm proj(cond) + 1; w_qkv (d, 3d); attn_scale (heads,) learned
+    cosine-sim scale. Returns (q, k, v), each (b, h, w, d) head-major
+    packed, with cosine-sim scaling and RoPE already applied to q and k."""
+    b, h, w, d = x.shape
+    e = d // n_heads
+    from . import xla_forced
+    ok = (jax.default_backend() == "tpu" and h % tile == 0 and w % tile == 0
+          and d % 128 == 0 and e == 64)
+    if not ok or xla_forced():
+        return _reference(x, pos, norm_scale, w_qkv, attn_scale, n_heads,
+                          eps, cos_eps)
+    return _fused_qkv_inner(x, pos, norm_scale, w_qkv, attn_scale, n_heads,
+                            eps, cos_eps, tile)

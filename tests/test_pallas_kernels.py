@@ -74,6 +74,45 @@ def test_flash_grads_match_xla():
             np.asarray(a) / scale, np.asarray(b) / scale, atol=2e-3)
 
 
+@requires_tpu
+@pytest.mark.parametrize("hw,d,heads", [(32, 128, 2), (16, 256, 4)])
+def test_fused_qkv_prologue_matches_reference(hw, d, heads):
+    fq = importlib.import_module("k_diffusion_tpu.ops.pallas.fused_qkv")
+    keys = jax.random.split(jax.random.PRNGKey(5), 4)
+    x = jax.random.normal(keys[0], (2, hw, hw, d), jnp.bfloat16)
+    norm_scale = 1 + 0.1 * jax.random.normal(keys[1], (2, d), jnp.bfloat16)
+    w_qkv = jax.random.normal(keys[2], (d, 3 * d), jnp.float32) * d ** -0.5
+    attn_scale = jnp.abs(jax.random.normal(keys[3], (heads,))) + 5.0
+    pos = jnp.asarray(np.asarray(
+        importlib.import_module("k_diffusion_tpu.ops.rope").make_axial_pos(hw, hw)))
+    outs_p = fq.fused_qkv_prologue(x, pos, norm_scale, w_qkv, attn_scale, heads)
+    outs_x = fq._reference(x, pos, norm_scale, w_qkv, attn_scale, heads, 1e-6, 1e-6)
+    for a, b in zip(outs_p, outs_x):
+        np.testing.assert_allclose(
+            np.asarray(a, np.float32), np.asarray(b, np.float32),
+            atol=2e-2, rtol=2e-2)
+
+
+@requires_tpu
+def test_fused_qkv_prologue_grad_runs():
+    fq = importlib.import_module("k_diffusion_tpu.ops.pallas.fused_qkv")
+    rp = importlib.import_module("k_diffusion_tpu.ops.rope")
+    keys = jax.random.split(jax.random.PRNGKey(6), 4)
+    d, heads, hw = 128, 2, 16
+    x = jax.random.normal(keys[0], (1, hw, hw, d), jnp.bfloat16)
+    norm_scale = jnp.ones((1, d), jnp.bfloat16)
+    w_qkv = jax.random.normal(keys[2], (d, 3 * d), jnp.float32) * d ** -0.5
+    attn_scale = jnp.full((heads,), 10.0)
+    pos = rp.make_axial_pos(hw, hw)
+
+    def loss(x):
+        q, k, v = fq.fused_qkv_prologue(x, pos, norm_scale, w_qkv, attn_scale, heads)
+        return jnp.sum((q + k + v).astype(jnp.float32) ** 2)
+
+    g = jax.grad(loss)(x)
+    assert bool(jnp.all(jnp.isfinite(g.astype(jnp.float32))))
+
+
 def test_dispatch_falls_back_off_tpu_or_bad_shapes():
     # tiny map: must route to the XLA path everywhere
     q, k, v = _qkv(jax.random.PRNGKey(4), (1, 7, 7, 1, 16))
