@@ -133,6 +133,8 @@ class SelfAttentionBlock(nn.Module):
         w_qkv = _KernelParam((self.d_model, self.d_model * 3),
                              nn.initializers.lecun_normal(),
                              name="qkv_proj")()
+        w_out = _KernelParam((n_heads * self.d_head, self.d_model),
+                             nn.initializers.zeros, name="out_proj")()
         scale = self.param("scale", nn.initializers.constant(10.0), (n_heads,))
 
         norm_scale = cond.astype(self.dtype) @ norm_kernel.astype(self.dtype) + 1
@@ -192,7 +194,10 @@ class SelfAttentionBlock(nn.Module):
             elif use_fused:
                 # inference: channel-packed kernel — heads stay in the
                 # channel dim, so no (b,h,w,heads,e)->(b*heads,h,w,e)
-                # transposes are paid (+17% sampling throughput)
+                # transposes are paid (+17% sampling throughput). NOTE: the
+                # fused-epilogue variant (na2d_packed_proj) measured ~2-3%
+                # SLOWER end-to-end — XLA already fuses out_proj with the
+                # residual and adjacent elementwise work — so it is not used.
                 from ..ops.pallas.na2d import na2d_packed
                 x = na2d_packed(qp, kp, vp, n_heads,
                                 self.attn_spec.kernel_size, scale=1.0)
@@ -216,8 +221,7 @@ class SelfAttentionBlock(nn.Module):
             raise ValueError(f"unsupported attention spec {self.attn_spec}")
 
         x = nn.Dropout(self.dropout)(x, deterministic=deterministic)
-        x = nn.Dense(self.d_model, use_bias=False, dtype=self.dtype,
-                     kernel_init=nn.initializers.zeros, name="out_proj")(x)
+        x = x.astype(self.dtype) @ w_out.astype(self.dtype)
         return x + skip
 
 

@@ -24,10 +24,11 @@ def xla_forced():
     return _FORCE_XLA
 
 
-from .na2d import na2d, na2d_packed, na2d_reference  # noqa: E402
+from .na2d import na2d, na2d_packed, na2d_packed_proj, na2d_reference  # noqa: E402
 from .flash import flash_attention  # noqa: E402
 from .fused_ffn import fused_geglu_ffn  # noqa: E402
 from .fused_qkv import fused_qkv_prologue  # noqa: E402
 
-__all__ = ["na2d", "na2d_packed", "na2d_reference", "flash_attention",
-           "fused_geglu_ffn", "fused_qkv_prologue", "force_xla", "xla_forced"]
+__all__ = ["na2d", "na2d_packed", "na2d_packed_proj", "na2d_reference",
+           "flash_attention", "fused_geglu_ffn", "fused_qkv_prologue",
+           "force_xla", "xla_forced"]

@@ -485,3 +485,122 @@ def na2d_packed(q, k, v, n_heads, kernel_size, scale=1.0, tile=DEFAULT_TILE):
                       v.reshape(b, h, w, n_heads, e), kernel_size, scale=scale)
         return out.reshape(b, h, w, c)
     return _na2d_packed_inner(q, k, v, kernel_size, scale, tile, n_heads)
+
+
+# Packed NA with a fused epilogue: attention -> out projection -> residual
+# add in the same kernel (the out_proj weights are VMEM-resident at these
+# widths, so the epilogue costs no extra HBM traffic and saves two op
+# launches per attention block; see PERFORMANCE.md on per-op overhead).
+
+
+def _na_packed_proj_kernel(q_ref, k_ref, v_ref, skip_ref, wout_ref, mask_ref,
+                           o_ref, *, kernel_size, tq, h, w, scale, n_heads):
+    c = q_ref.shape[-1]
+    e = c // n_heads
+    nq = tq * tq
+    ks = k_ref[0, 0, 0]  # (nk, c)
+    vs = v_ref[0, 0, 0]
+    q = q_ref[0].reshape(nq, c)
+    mask = mask_ref[0, 0]
+    nk = ks.shape[0]
+
+    lane = jax.lax.broadcasted_iota(jnp.int32, (nq, c), 1)
+    lane_k = jax.lax.broadcasted_iota(jnp.int32, (nk, c), 1)
+    out = jnp.zeros((nq, c), jnp.float32)
+    for head in range(n_heads):
+        q_h = jnp.where((lane // e) == head, q, 0).astype(q.dtype)
+        s = jax.lax.dot_general(
+            q_h, ks, dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32) * scale
+        p = jnp.exp(s) * mask
+        l = jnp.sum(p, axis=1, keepdims=True)
+        v_h = jnp.where((lane_k // e) == head, vs, 0).astype(vs.dtype)
+        out = out + jax.lax.dot_general(
+            (p / l).astype(q.dtype), v_h,
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+    proj = jax.lax.dot_general(
+        out.astype(q.dtype), wout_ref[...],
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    res = proj + skip_ref[0].reshape(nq, c).astype(jnp.float32)
+    o_ref[0] = res.reshape(tq, tq, c).astype(o_ref.dtype)
+
+
+def _na_packed_proj_fwd(q, k, v, skip, w_out, kernel_size, scale, tile,
+                        n_heads):
+    b, h, w, c = q.shape
+    tq = tile
+    grid = (b, h // tq, w // tq)
+    masks = jnp.asarray(_fwd_masks(h, w, kernel_size, tq))
+    nq, nk = masks.shape[2], masks.shape[3]
+    k_halo = _extract_halos(k, kernel_size, tq)
+    v_halo = _extract_halos(v, kernel_size, tq)
+    halo_spec = pl.BlockSpec((1, 1, 1, nk, c), lambda i, j, l: (i, j, l, 0, 0))
+    tile_spec = pl.BlockSpec((1, tq, tq, c), lambda i, j, l: (i, j, l, 0))
+    return pl.pallas_call(
+        functools.partial(_na_packed_proj_kernel, kernel_size=kernel_size,
+                          tq=tq, h=h, w=w, scale=scale, n_heads=n_heads),
+        grid=grid,
+        in_specs=[
+            tile_spec,
+            halo_spec,
+            halo_spec,
+            tile_spec,
+            pl.BlockSpec((c, c), lambda i, j, l: (0, 0)),
+            pl.BlockSpec((1, 1, nq, nk), lambda i, j, l: (j, l, 0, 0)),
+        ],
+        out_specs=tile_spec,
+        out_shape=jax.ShapeDtypeStruct(q.shape, q.dtype),
+    )(q, k_halo, v_halo, skip, w_out.astype(q.dtype), masks)
+
+
+def _packed_proj_reference(q, k, v, skip, w_out, kernel_size, scale, n_heads):
+    b, h, w, c = q.shape
+    e = c // n_heads
+    out = _xla_na(q.reshape(b, h, w, n_heads, e),
+                  k.reshape(b, h, w, n_heads, e),
+                  v.reshape(b, h, w, n_heads, e), kernel_size, scale=scale)
+    out = out.reshape(b, h, w, c)
+    return out @ w_out.astype(out.dtype) + skip
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8))
+def _na2d_packed_proj_inner(q, k, v, skip, w_out, kernel_size, scale, tile,
+                            n_heads):
+    return _na_packed_proj_fwd(q, k, v, skip, w_out, kernel_size, scale,
+                               tile, n_heads)
+
+
+def _na2d_packed_proj_fwd_rule(q, k, v, skip, w_out, kernel_size, scale,
+                               tile, n_heads):
+    out = _na_packed_proj_fwd(q, k, v, skip, w_out, kernel_size, scale, tile,
+                              n_heads)
+    return out, (q, k, v, skip, w_out)
+
+
+def _na2d_packed_proj_bwd_rule(kernel_size, scale, tile, n_heads, res, dout):
+    q, k, v, skip, w_out = res
+    _, vjp = jax.vjp(
+        lambda q_, k_, v_, s_, w_: _packed_proj_reference(
+            q_, k_, v_, s_, w_, kernel_size, scale, n_heads),
+        q, k, v, skip, w_out)
+    return vjp(dout)
+
+
+_na2d_packed_proj_inner.defvjp(_na2d_packed_proj_fwd_rule,
+                               _na2d_packed_proj_bwd_rule)
+
+
+def na2d_packed_proj(q, k, v, skip, w_out, n_heads, kernel_size, scale=1.0,
+                     tile=DEFAULT_TILE):
+    """na2d_packed + fused epilogue: returns attention(q,k,v) @ w_out + skip.
+    q,k,v,skip (b, h, w, heads*e); w_out (heads*e, heads*e)."""
+    b, h, w, c = q.shape
+    from . import xla_forced
+    if (not _use_pallas(h, w, kernel_size, tile) or c > 512 or c % 128 != 0
+            or xla_forced()):
+        return _packed_proj_reference(q, k, v, skip, w_out, kernel_size,
+                                      scale, n_heads)
+    return _na2d_packed_proj_inner(q, k, v, skip, w_out, kernel_size, scale,
+                                   tile, n_heads)

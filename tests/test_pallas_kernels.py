@@ -94,6 +94,19 @@ def test_fused_qkv_prologue_matches_reference(hw, d, heads):
 
 
 @requires_tpu
+@pytest.mark.parametrize("hw,c,heads,kk", [(32, 128, 2, 7), (32, 256, 4, 3)])
+def test_na2d_packed_proj_matches_reference(hw, c, heads, kk):
+    ks = jax.random.split(jax.random.PRNGKey(7), 5)
+    mk = lambda k: jax.random.normal(k, (2, hw, hw, c), jnp.bfloat16) * 0.5
+    q, k, v, skip = mk(ks[0]), mk(ks[1]), mk(ks[2]), mk(ks[3])
+    w_out = jax.random.normal(ks[4], (c, c), jnp.float32) * c ** -0.5
+    out_p = na_mod.na2d_packed_proj(q, k, v, skip, w_out, heads, kk)
+    out_x = na_mod._packed_proj_reference(q, k, v, skip, w_out, kk, 1.0, heads)
+    np.testing.assert_allclose(np.asarray(out_p, np.float32),
+                               np.asarray(out_x, np.float32), atol=3e-2)
+
+
+@requires_tpu
 def test_fused_qkv_prologue_grad_runs():
     fq = importlib.import_module("k_diffusion_tpu.ops.pallas.fused_qkv")
     rp = importlib.import_module("k_diffusion_tpu.ops.rope")
