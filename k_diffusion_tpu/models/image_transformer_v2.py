@@ -317,27 +317,41 @@ class TransformerLayer(nn.Module):
         return x
 
 
-class MappingFeedForwardBlock(nn.Module):
-    d_model: int
-    d_ff: int
-    dropout: float = 0.0
-    dtype: Any = jnp.float32
+class _ScaleParam(nn.Module):
+    """Owns an RMSNorm scale at the path a RMSNorm submodule would use
+    (<name>/scale)."""
+
+    dim: int
 
     @nn.compact
-    def __call__(self, x, deterministic=True):
-        skip = x
-        x = RMSNorm(name="norm")(x)
-        up = nn.Dense(self.d_ff * 2, use_bias=False, dtype=self.dtype,
-                      name="up_proj")(x)
-        a, gate = jnp.split(up, 2, axis=-1)
-        x = a * nn.gelu(gate, approximate=False)
-        x = nn.Dropout(self.dropout)(x, deterministic=deterministic)
-        x = nn.Dense(self.d_model, use_bias=False, dtype=self.dtype,
-                     kernel_init=nn.initializers.zeros, name="down_proj")(x)
-        return x + skip
+    def __call__(self):
+        return self.param("scale", nn.initializers.ones, (self.dim,))
+
+
+class _MappingBlockParams(nn.Module):
+    """Owns one mapping FF block's params at the paths the submodule
+    composition would use (<name>/{norm/scale, up_proj/kernel,
+    down_proj/kernel})."""
+
+    d_model: int
+    d_ff: int
+
+    @nn.compact
+    def __call__(self):
+        ns = _ScaleParam(self.d_model, name="norm")()
+        w_up = _KernelParam((self.d_model, self.d_ff * 2),
+                            nn.initializers.lecun_normal(), name="up_proj")()
+        w_down = _KernelParam((self.d_ff, self.d_model),
+                              nn.initializers.zeros, name="down_proj")()
+        return ns, w_up, w_down
 
 
 class MappingNetwork(nn.Module):
+    """RMSNorm -> n x (RMSNorm -> GEGLU FF -> residual) -> RMSNorm
+    (reference image_transformer_v2.py:129-168). On the eval path the whole
+    stack runs as one Pallas kernel — the activations are tiny (batch,
+    width), so the cost is pure op-launch count (see PERFORMANCE.md)."""
+
     n_layers: int
     d_model: int
     d_ff: int
@@ -346,13 +360,28 @@ class MappingNetwork(nn.Module):
 
     @nn.compact
     def __call__(self, x, deterministic=True):
-        x = RMSNorm(name="in_norm")(x)
-        for i in range(self.n_layers):
-            x = MappingFeedForwardBlock(
-                self.d_model, self.d_ff, dropout=self.dropout, dtype=self.dtype,
-                name=f"block_{i}")(x, deterministic)
-        x = RMSNorm(name="out_norm")(x)
-        return x
+        in_scale = _ScaleParam(self.d_model, name="in_norm")()
+        blocks = [_MappingBlockParams(self.d_model, self.d_ff,
+                                      name=f"block_{i}")()
+                  for i in range(self.n_layers)]
+        out_scale = _ScaleParam(self.d_model, name="out_norm")()
+
+        if deterministic:
+            # dropout is inactive, so the fused kernel is exact
+            from ..ops.pallas import fused_mapping
+            return fused_mapping(x, in_scale, out_scale, blocks,
+                                 dtype=self.dtype)
+
+        x = ops.rms_norm(x, in_scale)
+        for ns, w_up, w_down in blocks:
+            skip = x
+            xn = ops.rms_norm(x, ns)
+            up = xn.astype(self.dtype) @ w_up.astype(self.dtype)
+            a, gate = jnp.split(up, 2, axis=-1)
+            h = a * nn.gelu(gate, approximate=False)
+            h = nn.Dropout(self.dropout)(h, deterministic=deterministic)
+            x = skip + h.astype(self.dtype) @ w_down.astype(self.dtype)
+        return ops.rms_norm(x, out_scale)
 
 
 class TokenMerge(nn.Module):

@@ -28,7 +28,8 @@ from .na2d import na2d, na2d_packed, na2d_packed_proj, na2d_reference  # noqa: E
 from .flash import flash_attention  # noqa: E402
 from .fused_ffn import fused_geglu_ffn  # noqa: E402
 from .fused_qkv import fused_qkv_prologue  # noqa: E402
+from .fused_mapping import fused_mapping  # noqa: E402
 
 __all__ = ["na2d", "na2d_packed", "na2d_packed_proj", "na2d_reference",
            "flash_attention", "fused_geglu_ffn", "fused_qkv_prologue",
-           "force_xla", "xla_forced"]
+           "fused_mapping", "force_xla", "xla_forced"]

@@ -107,6 +107,24 @@ def test_na2d_packed_proj_matches_reference(hw, c, heads, kk):
 
 
 @requires_tpu
+def test_fused_mapping_matches_reference():
+    fm = importlib.import_module("k_diffusion_tpu.ops.pallas.fused_mapping")
+    b, d, dff, n = 8, 256, 768, 2
+    ks = jax.random.split(jax.random.PRNGKey(8), 2 + 3 * n)
+    emb = jax.random.normal(ks[0], (b, d), jnp.bfloat16)
+    in_s = 1 + 0.1 * jax.random.normal(ks[1], (d,))
+    out_s = 1 - 0.1 * jax.random.normal(ks[1], (d,))
+    blocks = [(1 + 0.1 * jax.random.normal(ks[2 + 3 * i], (d,)),
+               jax.random.normal(ks[3 + 3 * i], (d, 2 * dff)) * d ** -0.5,
+               jax.random.normal(ks[4 + 3 * i], (dff, d)) * dff ** -0.5)
+              for i in range(n)]
+    out_p = jax.jit(lambda e: fm.fused_mapping(e, in_s, out_s, blocks))(emb)
+    out_x = fm._reference(emb, in_s, out_s, blocks, 1e-6, jnp.bfloat16)
+    np.testing.assert_allclose(np.asarray(out_p, np.float32),
+                               np.asarray(out_x, np.float32), atol=6e-2)
+
+
+@requires_tpu
 def test_fused_qkv_prologue_grad_runs():
     fq = importlib.import_module("k_diffusion_tpu.ops.pallas.fused_qkv")
     rp = importlib.import_module("k_diffusion_tpu.ops.rope")
