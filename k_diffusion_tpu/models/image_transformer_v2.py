@@ -396,10 +396,17 @@ class TokenMerge(nn.Module):
     def __call__(self, x):
         ph, pw = self.patch_size
         b, h, w, c = x.shape
-        x = x.reshape(b, h // ph, ph, w // pw, pw, c)
-        x = jnp.moveaxis(x, 2, 3).reshape(b, h // ph, w // pw, ph * pw * c)
-        return nn.Dense(self.out_features, use_bias=False, dtype=self.dtype,
-                        name="proj")(x)
+        w_proj = _KernelParam((ph * pw * c, self.out_features),
+                              nn.initializers.lecun_normal(), name="proj")()
+        # pixel-shuffle + matmul expressed as a strided conv: XLA lowers it
+        # onto the MXU without materializing the (ph, pw, c) shuffle copy
+        # (the kernel layout matches the flattened (ph, pw, c) channel order
+        # of the reshape+moveaxis formulation, so checkpoints are identical)
+        dtype = self.dtype
+        kernel = w_proj.reshape(ph, pw, c, self.out_features).astype(dtype)
+        return jax.lax.conv_general_dilated(
+            x.astype(dtype), kernel, window_strides=(ph, pw), padding="VALID",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
 
 
 def _unpatch(x, patch_size, out_features):
@@ -408,6 +415,21 @@ def _unpatch(x, patch_size, out_features):
     x = x.reshape(b, h, w, ph, pw, out_features)
     x = jnp.moveaxis(x, 3, 2).reshape(b, h * ph, w * pw, out_features)
     return x
+
+
+def _split_proj(x, w_proj, patch_size, out_features, dtype):
+    """Projection + pixel-unshuffle as one transposed strided conv (exact:
+    stride == kernel size, so outputs never overlap). Kernel channel order
+    matches the Dense + _unpatch formulation for checkpoint parity."""
+    ph, pw = patch_size
+    c = x.shape[-1]
+    # conv_transpose uses the flipped-kernel convention, so mirror the
+    # spatial taps to reproduce out[s*i + p] = x[i] @ W[p]
+    kernel = w_proj.reshape(c, ph, pw, out_features).transpose(1, 2, 0, 3)
+    kernel = kernel[::-1, ::-1]
+    return jax.lax.conv_transpose(
+        x.astype(dtype), kernel.astype(dtype), strides=(ph, pw),
+        padding="VALID", dimension_numbers=("NHWC", "HWIO", "NHWC"))
 
 
 class TokenSplitWithoutSkip(nn.Module):
@@ -424,9 +446,10 @@ class TokenSplitWithoutSkip(nn.Module):
         ph, pw = self.patch_size
         init = nn.initializers.zeros if self.zero_init \
             else nn.initializers.lecun_normal()
-        x = nn.Dense(self.out_features * ph * pw, use_bias=False,
-                     kernel_init=init, dtype=self.dtype, name="proj")(x)
-        return _unpatch(x, self.patch_size, self.out_features)
+        w_proj = _KernelParam((x.shape[-1], self.out_features * ph * pw),
+                              init, name="proj")()
+        return _split_proj(x, w_proj, self.patch_size, self.out_features,
+                           self.dtype)
 
 
 class TokenSplit(nn.Module):
@@ -440,9 +463,10 @@ class TokenSplit(nn.Module):
     @nn.compact
     def __call__(self, x, skip):
         ph, pw = self.patch_size
-        x = nn.Dense(self.out_features * ph * pw, use_bias=False,
-                     dtype=self.dtype, name="proj")(x)
-        x = _unpatch(x, self.patch_size, self.out_features)
+        w_proj = _KernelParam((x.shape[-1], self.out_features * ph * pw),
+                              nn.initializers.lecun_normal(), name="proj")()
+        x = _split_proj(x, w_proj, self.patch_size, self.out_features,
+                        self.dtype)
         fac = self.param("fac", nn.initializers.constant(0.5), (1,))
         return skip + (x - skip) * fac.astype(x.dtype)
 
