@@ -9,19 +9,26 @@ has been initialized yet.
 
 import os
 
-os.environ["JAX_PLATFORMS"] = "cpu"
-_flags = os.environ.get("XLA_FLAGS", "")
-if "xla_force_host_platform_device_count" not in _flags:
-    os.environ["XLA_FLAGS"] = (_flags + " --xla_force_host_platform_device_count=8").strip()
+_ON_TPU = bool(os.environ.get("KDT_TEST_TPU"))  # run on real TPU instead
+                                                # (for the @requires_tpu
+                                                # kernel-equivalence tests)
+
+if not _ON_TPU:
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    _flags = os.environ.get("XLA_FLAGS", "")
+    if "xla_force_host_platform_device_count" not in _flags:
+        os.environ["XLA_FLAGS"] = (_flags + " --xla_force_host_platform_device_count=8").strip()
 
 import jax  # noqa: E402
 
-jax.config.update("jax_platforms", "cpu")
-try:
-    jax.config.update("jax_num_cpu_devices", 8)
-except Exception:
-    pass
+if not _ON_TPU:
+    jax.config.update("jax_platforms", "cpu")
+    try:
+        jax.config.update("jax_num_cpu_devices", 8)
+    except Exception:
+        pass
 jax.config.update("jax_threefry_partitionable", True)
 
-assert jax.default_backend() == "cpu", "tests must run on CPU"
-assert len(jax.devices()) >= 8, "tests need 8 virtual CPU devices"
+if not _ON_TPU:
+    assert jax.default_backend() == "cpu", "tests must run on CPU"
+    assert len(jax.devices()) >= 8, "tests need 8 virtual CPU devices"
