@@ -248,22 +248,33 @@ def make_dataset(dataset_config, size, config_dir=None):
 
 class DataLoader:
     """Shuffling, drop-last, prefetching batch loader yielding dicts of
-    stacked numpy arrays ({'image': (B,H,W,C), 'class': (B,)})."""
+    stacked numpy arrays ({'image': (B,H,W,C), 'class': (B,)}).
+
+    ``process_index``/``process_count``: multi-host sharding — each process
+    sees a disjoint 1/count stride of every epoch's shuffled order (the
+    DistributedSampler analog; all processes shuffle with the same seed so
+    the strides partition the dataset)."""
 
     def __init__(self, dataset, batch_size, seed=0, num_workers=4, prefetch=4,
-                 drop_last=True):
+                 drop_last=True, process_index=0, process_count=1):
         self.dataset = dataset
         self.batch_size = batch_size
         self.seed = seed
         self.num_workers = max(1, num_workers)
         self.prefetch = prefetch
         self.drop_last = drop_last
+        self.process_index = process_index
+        self.process_count = process_count
         self.epoch = 0
         self._native_ok = None
 
+    def _local_len(self):
+        n = len(self.dataset) // self.process_count
+        return n
+
     def __len__(self):
-        n = len(self.dataset) // self.batch_size
-        if not self.drop_last and len(self.dataset) % self.batch_size:
+        n = self._local_len() // self.batch_size
+        if not self.drop_last and self._local_len() % self.batch_size:
             n += 1
         return n
 
@@ -296,6 +307,9 @@ class DataLoader:
         rng = np.random.RandomState(self.seed + self.epoch)
         self.epoch += 1
         order = rng.permutation(len(self.dataset))
+        if self.process_count > 1:
+            order = order[self.process_index::self.process_count]
+            order = order[:self._local_len()]
         n_batches = len(self)
         batch_idxs = [order[i * self.batch_size:(i + 1) * self.batch_size]
                       for i in range(n_batches)]

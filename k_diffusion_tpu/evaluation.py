@@ -151,17 +151,24 @@ def make_extractor(name, **kwargs):
 
 
 def compute_features(sample_fn, extractor_fn, n, batch_size):
-    """Sample-then-extract loop (reference evaluation.py:80-90). On a mesh,
-    ``sample_fn`` produces globally-sharded batches and features are gathered
-    to host here (the all_gather analog of accelerator.gather)."""
+    """Sample-then-extract loop (reference evaluation.py:80-90). ``n`` counts
+    GLOBAL samples. Multi-host: each process samples/extracts its own batches
+    and every batch's features are all-gathered across processes (the
+    accelerator.gather analog, reference evaluation.py:87), so all hosts end
+    up with the identical global feature matrix."""
+    world = jax.process_count()
     feats_all = []
     got = 0
     while got < n:
-        cur = min(n - got, batch_size)
+        cur = min(-(-(n - got) // world), batch_size)
         samples = sample_fn(cur)[:cur]
-        feats = extractor_fn(samples)
-        feats_all.append(jax.device_get(feats))
-        got += cur
+        feats = np.asarray(jax.device_get(extractor_fn(samples)))
+        if world > 1:
+            from jax.experimental import multihost_utils
+            feats = np.asarray(multihost_utils.process_allgather(
+                jnp.asarray(feats))).reshape(-1, feats.shape[-1])
+        feats_all.append(feats)
+        got += cur * world
     return jnp.asarray(np.concatenate(feats_all)[:n])
 
 

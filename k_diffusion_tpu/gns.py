@@ -31,6 +31,11 @@ class GradientNoiseScale:
                n_small_batch, n_large_batch):
         """sq_norm_small_batch: mean of squared 2-norms of microbatch grads;
         sq_norm_large_batch: squared 2-norm of the mean grad."""
+        if n_large_batch <= n_small_batch:
+            raise ValueError(
+                f"GNS needs a small batch strictly smaller than the large one "
+                f"(got n_small={n_small_batch}, n_large={n_large_batch}); use "
+                f"--grad-accum-steps > 1 or run data-parallel on > 1 device")
         est_sq_norm = (n_large_batch * sq_norm_large_batch
                        - n_small_batch * sq_norm_small_batch) \
             / (n_large_batch - n_small_batch)

@@ -278,14 +278,16 @@ class FeedForwardBlock(nn.Module):
             return out.reshape(b, hh, ww, d)
 
         x = ops.rms_norm(x, scale[:, None, None, :].astype(self.dtype))
-        up = x @ w_up.astype(self.dtype)
         if self.tp_axis:
             # megatron-style: hidden dim sharded, down_proj reduces
+            up = x @ w_up.astype(self.dtype)
             U = jax.sharding.PartitionSpec.UNCONSTRAINED
             up = jax.lax.with_sharding_constraint(
                 up, jax.sharding.PartitionSpec(U, None, None, self.tp_axis))
-        a, gate = jnp.split(up, 2, axis=-1)
-        x = a * nn.gelu(gate, approximate=False)
+            a, gate = jnp.split(up, 2, axis=-1)
+            x = a * nn.gelu(gate, approximate=False)
+        else:
+            x = ops.linear_geglu(x, w_up.astype(self.dtype))
         x = nn.Dropout(self.dropout)(x, deterministic=deterministic)
         x = x @ w_down.astype(self.dtype)
         return x + skip
@@ -376,9 +378,7 @@ class MappingNetwork(nn.Module):
         for ns, w_up, w_down in blocks:
             skip = x
             xn = ops.rms_norm(x, ns)
-            up = xn.astype(self.dtype) @ w_up.astype(self.dtype)
-            a, gate = jnp.split(up, 2, axis=-1)
-            h = a * nn.gelu(gate, approximate=False)
+            h = ops.linear_geglu(xn.astype(self.dtype), w_up.astype(self.dtype))
             h = nn.Dropout(self.dropout)(h, deterministic=deterministic)
             x = skip + h.astype(self.dtype) @ w_down.astype(self.dtype)
         return ops.rms_norm(x, out_scale)

@@ -125,7 +125,14 @@ def log_likelihood(model, x, sigma_min, sigma_max, extra_args=None, key=None,
     The divergence is estimated with a Rademacher probe v and forward-mode
     jvp: d_ll = v . (dd/dx) v, equal to the reference's v . grad((d*v).sum()).
     Returns (ll, info).
+
+    The model trace runs under ``ops.pallas.force_xla()``: custom_vjp Pallas
+    kernels do not support forward-mode autodiff, so the attention/FFN
+    dispatchers must take their pure-XLA paths here. Callers need no
+    incantation of their own.
     """
+    from .ops import pallas as _pallas
+
     extra_args = {} if extra_args is None else extra_args
     if key is None:
         raise ValueError("log_likelihood needs a PRNG key for the Hutchinson probe")
@@ -144,8 +151,9 @@ def log_likelihood(model, x, sigma_min, sigma_max, extra_args=None, key=None,
         return d, d_ll
 
     y0 = (x, jnp.zeros([x.shape[0]], x.dtype))
-    (latent, delta_ll), info = odeint_dopri5(
-        ode_fn, y0, sigma_min, sigma_max, rtol=rtol, atol=atol, max_steps=max_steps)
+    with _pallas.force_xla():
+        (latent, delta_ll), info = odeint_dopri5(
+            ode_fn, y0, sigma_min, sigma_max, rtol=rtol, atol=atol, max_steps=max_steps)
     d = latent.reshape(x.shape[0], -1)
     ll_prior = jnp.sum(
         -0.5 * (d / sigma_max) ** 2 - 0.5 * jnp.log(2 * jnp.pi) - jnp.log(sigma_max),

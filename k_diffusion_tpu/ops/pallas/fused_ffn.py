@@ -99,10 +99,11 @@ _fused_ffn_inner.defvjp(_fused_ffn_inner_fwd, _fused_ffn_inner_bwd)
 def fused_geglu_ffn(x, scale, w_up, w_down, eps=1e-6, block=TOKEN_BLOCK):
     """x: (b, tokens, d); scale: (b, d) AdaRMSNorm scale (proj(cond)+1);
     w_up: (d, 2*d_ff); w_down: (d_ff, d). Returns x + FFN(norm(x))."""
+    from . import xla_forced
     b, t, d = x.shape
     d_ff = w_down.shape[0]
-    use_pallas = (jax.default_backend() == "tpu" and t % block == 0
-                  and d % 128 == 0 and d_ff % 128 == 0)
+    use_pallas = (jax.default_backend() == "tpu" and not xla_forced()
+                  and t % block == 0 and d % 128 == 0 and d_ff % 128 == 0)
     if not use_pallas:
         return _ffn_reference(x, scale, w_up, w_down, eps)
     return _fused_ffn_inner(x, scale, w_up.astype(x.dtype),

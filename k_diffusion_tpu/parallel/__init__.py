@@ -58,16 +58,37 @@ def replicate(tree, mesh):
     return jax.tree_util.tree_map(lambda x: jax.device_put(x, sharding), tree)
 
 
-def local_batch_to_global(local_batches, mesh, axis_name=DATA_AXIS):
+def local_batch_to_global(local_batches, mesh, axis_name=DATA_AXIS, spec=None):
     """Multi-host: assembles a global array from per-host local shards
     (the jax.make_array_from_process_local_data path). On a single host this
-    is just shard_batch."""
+    is just a device_put with the given sharding. ``spec`` defaults to
+    sharding dim 0 over ``axis_name``; pass e.g. P(None, 'data') for arrays
+    with an accumulation dim in front."""
+    spec = P(axis_name) if spec is None else spec
+    sharding = NamedSharding(mesh, spec)
     if jax.process_count() == 1:
-        return shard_batch(local_batches, mesh, axis_name)
-    sharding = batch_spec(mesh, axis_name)
+        return jax.tree_util.tree_map(
+            lambda x: jax.device_put(x, sharding), local_batches)
     return jax.tree_util.tree_map(
         lambda x: jax.make_array_from_process_local_data(sharding, np.asarray(x)),
         local_batches)
+
+
+def process_index():
+    """This host's process index (wrapped so tests can monkeypatch the
+    multi-host gating logic without a real multi-process run)."""
+    return jax.process_index()
+
+
+def process_count():
+    """Number of host processes (monkeypatchable, see process_index)."""
+    return jax.process_count()
+
+
+def is_main_process():
+    """True on the process that owns side effects: checkpoint/demo/CSV/wandb
+    writes must be gated on this (reference train.py:124,227,277,305,324,349)."""
+    return process_index() == 0
 
 
 def initialize_distributed(**kwargs):

@@ -248,16 +248,14 @@ def sample_heun(model, x, sigmas, extra_args=None, callback=None, key=None,
         _call_callback(callback, x=x, i=i, sigma=sigma, sigma_hat=sigma_hat, denoised=denoised)
         dt = sigma_next - sigma_hat
 
-        def euler_branch(x):
-            return x + d * dt
-
-        def heun_branch(x):
-            x_2 = x + d * dt
-            denoised_2 = model(x_2, sigma_next * s_in, **extra_args)
-            d_2 = to_d(x_2, sigma_next, denoised_2)
-            return x + (d + d_2) / 2 * dt
-
-        x = jax.lax.cond(sigma_next == 0, euler_branch, heun_branch, x)
+        # straight-line body: the final sigma=0 step takes the Euler value via
+        # select (reference branches in python, sampling.py:168-183); a
+        # lax.cond here would add a branch sub-computation per step and block
+        # fusion across it for no runtime saving on the other n-1 steps.
+        x_euler = x + d * dt
+        denoised_2 = model(x_euler, sigma_next * s_in, **extra_args)
+        d_2 = to_d(x_euler, sigma_next, denoised_2)
+        x = jnp.where(sigma_next == 0, x_euler, x + (d + d_2) / 2 * dt)
         return x, None
 
     x, _ = jax.lax.scan(body, x, jnp.arange(n))
@@ -281,20 +279,15 @@ def sample_dpm_2(model, x, sigmas, extra_args=None, callback=None, key=None,
         d = to_d(x, sigma_hat, denoised)
         _call_callback(callback, x=x, i=i, sigma=sigma, sigma_hat=sigma_hat, denoised=denoised)
 
-        def euler_branch(x):
-            return x + d * (sigma_next - sigma_hat)
-
-        def dpm2_branch(x):
-            log_hat = jnp.log(sigma_hat)
-            sigma_mid = jnp.exp(log_hat + 0.5 * (jnp.log(sigma_next) - log_hat))
-            dt_1 = sigma_mid - sigma_hat
-            dt_2 = sigma_next - sigma_hat
-            x_2 = x + d * dt_1
-            denoised_2 = model(x_2, sigma_mid * s_in, **extra_args)
-            d_2 = to_d(x_2, sigma_mid, denoised_2)
-            return x + d_2 * dt_2
-
-        x = jax.lax.cond(sigma_next == 0, euler_branch, dpm2_branch, x)
+        # straight-line body with a final-step Euler select (see sample_heun)
+        log_hat = jnp.log(sigma_hat)
+        sigma_mid = jnp.exp(log_hat + 0.5 * (jnp.log(sigma_next) - log_hat))
+        dt_1 = sigma_mid - sigma_hat
+        dt_2 = sigma_next - sigma_hat
+        x_2 = x + d * dt_1
+        denoised_2 = model(x_2, sigma_mid * s_in, **extra_args)
+        d_2 = to_d(x_2, sigma_mid, denoised_2)
+        x = jnp.where(sigma_next == 0, x + d * dt_2, x + d_2 * dt_2)
         return x, None
 
     x, _ = jax.lax.scan(body, x, jnp.arange(n))
@@ -318,22 +311,17 @@ def sample_dpm_2_ancestral(model, x, sigmas, extra_args=None, callback=None,
         _call_callback(callback, x=x, i=i, sigma=sigma, sigma_hat=sigma, denoised=denoised)
         d = to_d(x, sigma, denoised)
 
-        def euler_branch(x):
-            return x + d * (sigma_down - sigma)
-
-        def dpm2_branch(x):
-            log_s = jnp.log(sigma)
-            sigma_mid = jnp.exp(log_s + 0.5 * (jnp.log(sigma_down) - log_s))
-            dt_1 = sigma_mid - sigma
-            dt_2 = sigma_down - sigma
-            x_2 = x + d * dt_1
-            denoised_2 = model(x_2, sigma_mid * s_in, **extra_args)
-            d_2 = to_d(x_2, sigma_mid, denoised_2)
-            x = x + d_2 * dt_2
-            noise = noise_sampler(jax.random.fold_in(key, i), sigma, sigma_next)
-            return x + noise * (s_noise * sigma_up).astype(x.dtype)
-
-        x = jax.lax.cond(sigma_down == 0, euler_branch, dpm2_branch, x)
+        # straight-line body with a sigma_down=0 Euler select (see sample_heun)
+        log_s = jnp.log(sigma)
+        sigma_mid = jnp.exp(log_s + 0.5 * (jnp.log(sigma_down) - log_s))
+        dt_1 = sigma_mid - sigma
+        dt_2 = sigma_down - sigma
+        x_2 = x + d * dt_1
+        denoised_2 = model(x_2, sigma_mid * s_in, **extra_args)
+        d_2 = to_d(x_2, sigma_mid, denoised_2)
+        noise = noise_sampler(jax.random.fold_in(key, i), sigma, sigma_next)
+        x_dpm2 = x + d_2 * dt_2 + noise * (s_noise * sigma_up).astype(x.dtype)
+        x = jnp.where(sigma_down == 0, x + d * dt_2, x_dpm2)
         return x, None
 
     x, _ = jax.lax.scan(body, x, jnp.arange(n))
@@ -607,20 +595,16 @@ def sample_dpmpp_2s_ancestral(model, x, sigmas, extra_args=None, callback=None,
         sigma_down, sigma_up = get_ancestral_step(sigma, sigma_next, eta=eta)
         _call_callback(callback, x=x, i=i, sigma=sigma, sigma_hat=sigma, denoised=denoised)
 
-        def euler_branch(x):
-            d = to_d(x, sigma, denoised)
-            return x + d * (sigma_down - sigma)
-
-        def dpmpp_branch(x):
-            t, t_next = -jnp.log(sigma), -jnp.log(sigma_down)
-            r = 1 / 2
-            h = t_next - t
-            s = t + r * h
-            x_2 = (_sigma_dpm(s) / _sigma_dpm(t)) * x - jnp.expm1(-h * r) * denoised
-            denoised_2 = model(x_2, _sigma_dpm(s) * s_in, **extra_args)
-            return (_sigma_dpm(t_next) / _sigma_dpm(t)) * x - jnp.expm1(-h) * denoised_2
-
-        x = jax.lax.cond(sigma_down == 0, euler_branch, dpmpp_branch, x)
+        # straight-line body with a sigma_down=0 Euler select (see sample_heun)
+        t, t_next = -jnp.log(sigma), -jnp.log(sigma_down)
+        r = 1 / 2
+        h = t_next - t
+        s = t + r * h
+        x_2 = (_sigma_dpm(s) / _sigma_dpm(t)) * x - jnp.expm1(-h * r) * denoised
+        denoised_2 = model(x_2, _sigma_dpm(s) * s_in, **extra_args)
+        x_dpmpp = (_sigma_dpm(t_next) / _sigma_dpm(t)) * x - jnp.expm1(-h) * denoised_2
+        x_euler = x + to_d(x, sigma, denoised) * (sigma_down - sigma)
+        x = jnp.where(sigma_down == 0, x_euler, x_dpmpp)
         noise = noise_sampler(jax.random.fold_in(key, i), sigma, sigma_next)
         x = jnp.where(sigma_next > 0, x + noise * (s_noise * sigma_up).astype(x.dtype), x)
         return x, None
@@ -652,35 +636,31 @@ def sample_dpmpp_sde(model, x, sigmas, extra_args=None, callback=None, key=None,
         denoised = model(x, sigma * s_in, **extra_args)
         _call_callback(callback, x=x, i=i, sigma=sigma, sigma_hat=sigma, denoised=denoised)
 
-        def euler_branch(x):
-            d = to_d(x, sigma, denoised)
-            return x + d * (sigma_next - sigma)
+        # straight-line body with a final-step Euler select (see sample_heun)
+        t, t_next = -jnp.log(sigma), -jnp.log(sigma_next)
+        h = t_next - t
+        s = t + h * r
+        fac = 1 / (2 * r)
 
-        def sde_branch(x):
-            t, t_next = -jnp.log(sigma), -jnp.log(sigma_next)
-            h = t_next - t
-            s = t + h * r
-            fac = 1 / (2 * r)
+        # Step 1
+        sd, su = get_ancestral_step(_sigma_dpm(t), _sigma_dpm(s), eta)
+        s_ = _t_dpm(sd)
+        x_2 = (_sigma_dpm(s_) / _sigma_dpm(t)) * x - jnp.expm1(t - s_) * denoised
+        noise = noise_sampler(jax.random.fold_in(key, 2 * i) if key is not None else None,
+                              _sigma_dpm(t), _sigma_dpm(s))
+        x_2 = x_2 + noise * (s_noise * su).astype(x.dtype)
+        denoised_2 = model(x_2, _sigma_dpm(s) * s_in, **extra_args)
 
-            # Step 1
-            sd, su = get_ancestral_step(_sigma_dpm(t), _sigma_dpm(s), eta)
-            s_ = _t_dpm(sd)
-            x_2 = (_sigma_dpm(s_) / _sigma_dpm(t)) * x - jnp.expm1(t - s_) * denoised
-            noise = noise_sampler(jax.random.fold_in(key, 2 * i) if key is not None else None,
-                                  _sigma_dpm(t), _sigma_dpm(s))
-            x_2 = x_2 + noise * (s_noise * su).astype(x.dtype)
-            denoised_2 = model(x_2, _sigma_dpm(s) * s_in, **extra_args)
-
-            # Step 2
-            sd, su = get_ancestral_step(_sigma_dpm(t), _sigma_dpm(t_next), eta)
-            t_next_ = _t_dpm(sd)
-            denoised_d = (1 - fac) * denoised + fac * denoised_2
-            x = (_sigma_dpm(t_next_) / _sigma_dpm(t)) * x - jnp.expm1(t - t_next_) * denoised_d
-            noise = noise_sampler(jax.random.fold_in(key, 2 * i + 1) if key is not None else None,
-                                  _sigma_dpm(t), _sigma_dpm(t_next))
-            return x + noise * (s_noise * su).astype(x.dtype)
-
-        x = jax.lax.cond(sigma_next == 0, euler_branch, sde_branch, x)
+        # Step 2
+        sd, su = get_ancestral_step(_sigma_dpm(t), _sigma_dpm(t_next), eta)
+        t_next_ = _t_dpm(sd)
+        denoised_d = (1 - fac) * denoised + fac * denoised_2
+        x_sde = (_sigma_dpm(t_next_) / _sigma_dpm(t)) * x - jnp.expm1(t - t_next_) * denoised_d
+        noise = noise_sampler(jax.random.fold_in(key, 2 * i + 1) if key is not None else None,
+                              _sigma_dpm(t), _sigma_dpm(t_next))
+        x_sde = x_sde + noise * (s_noise * su).astype(x.dtype)
+        x_euler = x + to_d(x, sigma, denoised) * (sigma_next - sigma)
+        x = jnp.where(sigma_next == 0, x_euler, x_sde)
         return x, None
 
     x, _ = jax.lax.scan(body, x, jnp.arange(n))
@@ -860,3 +840,17 @@ class DPMSolver:
             self.model, x, float(jnp.exp(-t_end)), float(jnp.exp(-t_start)),
             nfe, extra_args=self.extra_args, eta=eta, s_noise=s_noise,
             noise_sampler=noise_sampler, key=key)
+
+    def dpm_solver_adaptive(self, x, t_start, t_end, order=3, rtol=0.05,
+                            atol=0.0078, h_init=0.05, pcoeff=0.0, icoeff=1.0,
+                            dcoeff=0.0, accept_safety=0.81, eta=0.0,
+                            s_noise=1.0, noise_sampler=None, key=None):
+        """Adaptive DPM-Solver-12/23 driver (reference sampling.py:427-478);
+        t in -log(sigma) space like the other class methods. Returns
+        (x, info)."""
+        return sample_dpm_adaptive(
+            self.model, x, float(jnp.exp(-t_end)), float(jnp.exp(-t_start)),
+            extra_args=self.extra_args, order=order, rtol=rtol, atol=atol,
+            h_init=h_init, pcoeff=pcoeff, icoeff=icoeff, dcoeff=dcoeff,
+            accept_safety=accept_safety, eta=eta, s_noise=s_noise,
+            noise_sampler=noise_sampler, key=key, return_info=True)

@@ -78,7 +78,8 @@ def _global_sq_norm(tree):
 
 def make_train_step(model, denoiser_factory, sample_density, optimizer, *,
                     num_classes=0, cond_dropout_rate=0.0, stratified=True,
-                    compute_gns=False, has_mapping_cond=False, apply_fn=None):
+                    compute_gns=False, has_mapping_cond=False, apply_fn=None,
+                    gns_mesh=None, gns_data_axis="data"):
     """Returns ``step(state, batch, key, ema_decay) -> (state, metrics)``,
     jitted with the state donated (in-place on-device update).
 
@@ -89,6 +90,14 @@ def make_train_step(model, denoiser_factory, sample_density, optimizer, *,
     ``apply_fn(params, x, sigma, dropout_key, **extra)`` overrides the
     default flax apply (used e.g. to pack aug_cond into mapping_cond for
     image_v1's augment wrapper, reference augmentation.py:92-114).
+
+    ``gns_mesh``: when set (and compute_gns), the per-microbatch gradient is
+    computed under ``shard_map`` over ``gns_data_axis`` so each device's
+    pre-all-reduce gradient sq-norm is observable — the analog of the
+    reference's per-rank DDP communication hook (reference gns.py:5-34) —
+    then ``pmean``ed back into the usual averaged gradient. The small-batch
+    GNS signal is then the per-device batch (global batch / dp), not just
+    the accumulation microbatch. Pure-dp meshes only (params replicated).
     """
 
     if apply_fn is None:
@@ -119,6 +128,38 @@ def make_train_step(model, denoiser_factory, sample_density, optimizer, *,
         losses = den.loss(reals, noise, sigma, **extra)
         return jnp.mean(losses)
 
+    if compute_gns and gns_mesh is not None:
+        from jax import shard_map
+        from jax.sharding import PartitionSpec as P
+
+        def grad_microbatch(params, mb, sigma, key):
+            """Per-device grads + pre-psum sq-norm, then pmean back."""
+            def body(params, mb, sigma, key):
+                # decorrelate the noise/dropout draws across dp shards
+                key = jax.random.fold_in(key, jax.lax.axis_index(gns_data_axis))
+                loss, grads = jax.value_and_grad(microbatch_loss)(
+                    params, mb, sigma, key)
+                sqn = _global_sq_norm(grads)
+                return (jax.lax.pmean(loss, gns_data_axis),
+                        jax.lax.pmean(grads, gns_data_axis),
+                        jax.lax.pmean(sqn, gns_data_axis))
+
+            # only the data axis goes manual; any other mesh axis (e.g. a
+            # tensor-parallel 'model' axis) stays automatic so in-model
+            # sharding constraints over it still apply inside the body
+            return shard_map(
+                body, mesh=gns_mesh,
+                in_specs=(P(), P(gns_data_axis), P(gns_data_axis), P()),
+                out_specs=(P(), P(), P()), check_vma=False,
+                axis_names=frozenset({gns_data_axis}),
+            )(params, mb, sigma, key)
+    else:
+        def grad_microbatch(params, mb, sigma, key):
+            loss, grads = jax.value_and_grad(microbatch_loss)(
+                params, mb, sigma, key)
+            sqn = _global_sq_norm(grads) if compute_gns else jnp.float32(0)
+            return loss, grads, sqn
+
     def step_fn(state, batch, key, ema_decay):
         a_steps = batch["reals"].shape[0]
         b = batch["reals"].shape[1]
@@ -132,10 +173,8 @@ def make_train_step(model, denoiser_factory, sample_density, optimizer, *,
             grads_acc, loss_acc, sqn_acc = carry
             mb, sigma, idx = inp
             k = jax.random.fold_in(k_loop, idx)
-            loss, grads = jax.value_and_grad(microbatch_loss)(
-                state.params, mb, sigma, k)
+            loss, grads, sqn = grad_microbatch(state.params, mb, sigma, k)
             grads_acc = jax.tree_util.tree_map(jnp.add, grads_acc, grads)
-            sqn = _global_sq_norm(grads) if compute_gns else jnp.float32(0)
             return (grads_acc, loss_acc + loss, sqn_acc + sqn), None
 
         zeros = jax.tree_util.tree_map(

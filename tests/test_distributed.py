@@ -110,6 +110,71 @@ def test_stratified_sigma_strata_cover_globally():
     assert sorted(bins.tolist()) == list(range(a_steps * b))
 
 
+def test_gns_dp_shard_small_differs_from_big():
+    """With gns_mesh set, the train step reports the mean per-device
+    (pre-all-reduce) gradient sq-norm as the small-batch GNS signal — it must
+    be strictly larger than the sq-norm of the averaged gradient (noise adds
+    in quadrature; reference gns.py:5-34 measures the same per-rank)."""
+    assert len(jax.devices()) >= 8
+    mesh = parallel.make_mesh(jax.devices()[:8])
+    cfg = config_mod.load_config(TINY)
+    model = config_mod.make_model(cfg)
+    key = jax.random.PRNGKey(3)
+    v = model.init(key, jnp.zeros([1, 16, 16, 3]), jnp.ones([1]))
+    labels = itv2.param_group_labels(v["params"])
+    opt = training.make_optimizer(cfg, labels)
+    state = training.init_train_state(
+        model, opt, key, {"reals": jnp.zeros([2, 16, 16, 3])})
+    density = config_mod.make_sample_density(cfg["model"])
+    den_factory = config_mod.make_denoiser_wrapper(cfg)
+    step = training.make_train_step(
+        model, den_factory, density, opt, stratified=False, compute_gns=True,
+        gns_mesh=mesh, gns_data_axis=parallel.DATA_AXIS)
+    with mesh:
+        state = parallel.replicate(state, mesh)
+        batch = {"reals": jax.random.normal(key, (1, 16, 16, 16, 3))}
+        sharding = jax.sharding.NamedSharding(
+            mesh, jax.sharding.PartitionSpec(None, parallel.DATA_AXIS))
+        batch = {k: jax.device_put(x, sharding) for k, x in batch.items()}
+        _, metrics = step(state, batch, jax.random.fold_in(key, 1), 0.99)
+    small = float(metrics["grad_sq_norm_small"])
+    big = float(metrics["grad_sq_norm_big"])
+    assert small > big > 0, (small, big)
+    # and the estimator accepts the pair at dp small-batch sizes
+    from k_diffusion_tpu import gns as gns_mod
+    g = gns_mod.GradientNoiseScale()
+    out = g.update(small, big, 2, 16)
+    assert np.isfinite(out)
+
+
+def test_gns_update_rejects_equal_batch_sizes():
+    from k_diffusion_tpu import gns as gns_mod
+    g = gns_mod.GradientNoiseScale()
+    with pytest.raises(ValueError, match="grad-accum-steps"):
+        g.update(1.0, 1.0, 16, 16)
+
+
+def test_train_cli_nonzero_rank_writes_nothing(tmp_path, monkeypatch):
+    """Multi-host gating: on process_index != 0, train.py must produce no
+    checkpoint/demo/CSV side effects (reference gates all writes on rank 0,
+    train.py:124,227,277,305,324,349). Runs main() in-process with the
+    process index monkeypatched."""
+    import sys
+    import train as train_cli
+
+    monkeypatch.setattr(parallel, "process_index", lambda: 1)
+    monkeypatch.setattr(parallel, "process_count", lambda: 2)
+    name = tmp_path / "run"
+    monkeypatch.setattr(sys, "argv", [
+        "train.py", "--config", "configs/config_test_tiny.json",
+        "--batch-size", "16", "--end-step", "3", "--demo-every", "2",
+        "--save-every", "2", "--evaluate-every", "0", "--sample-n", "4",
+        "--num-workers", "1", "--name", str(name)])
+    train_cli.main()
+    leftovers = sorted(p.name for p in tmp_path.iterdir())
+    assert leftovers == [], f"rank 1 wrote files: {leftovers}"
+
+
 def test_tensor_parallel_matches_single_device():
     """dp=4 x tp=2: sharding attention heads / FF hidden dims must not change
     the math (same loss and params as the unsharded step)."""

@@ -229,6 +229,21 @@ def test_dpm_adaptive_accuracy(order):
     assert int(info["n_accept"]) > 0
 
 
+def test_dpm_solver_class_adaptive_matches_functional():
+    """DPMSolver.dpm_solver_adaptive (reference sampling.py:427-478) wraps
+    sample_dpm_adaptive with t = -log(sigma) endpoints."""
+    key = jax.random.PRNGKey(6)
+    x = jax.random.normal(key, (2, 8)) * SIGMA_MAX
+    solver = sampling.DPMSolver(gaussian_denoiser)
+    t_start, t_end = -np.log(SIGMA_MAX), -np.log(SIGMA_MIN)
+    out, info = solver.dpm_solver_adaptive(
+        x, t_start, t_end, rtol=0.002, atol=1e-5)
+    ref = sampling.sample_dpm_adaptive(
+        gaussian_denoiser, x, SIGMA_MIN, SIGMA_MAX, rtol=0.002, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-6)
+    assert int(info["n_accept"]) > 0
+
+
 def test_lms_coeff_exact_for_linear():
     # For order 2 the LMS coefficients integrate the linear interpolant exactly:
     # sum of coeffs == t[i+1] - t[i]

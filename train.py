@@ -95,7 +95,11 @@ def main():
     parallel.initialize_distributed()
     mesh = parallel.make_mesh()
     n_devices = len(jax.devices())
-    print(f"World: {jax.process_count()} process(es), {n_devices} device(s)")
+    world = parallel.process_count()
+    rank = parallel.process_index()
+    is_main = parallel.is_main_process()
+    if is_main:
+        print(f"World: {world} process(es), {n_devices} device(s)")
 
     config = config_mod.load_config(args.config)
     model_config = config["model"]
@@ -119,8 +123,8 @@ def main():
     model = config_mod.make_model(config, dtype=dtype,
                                   checkpointing=args.checkpointing)
 
-    # wandb (optional)
-    use_wandb = bool(args.wandb_project)
+    # wandb (optional; rank 0 only, reference train.py:124)
+    use_wandb = bool(args.wandb_project) and is_main
     if use_wandb:
         try:
             import wandb
@@ -130,16 +134,23 @@ def main():
             print("wandb not available; logging disabled")
             use_wandb = False
 
-    # dataset + loader (global batch; per-host sharding handled by
-    # local_batch_to_global for multi-host)
+    # dataset + loader: each host loads only its 1/world slice of the global
+    # batch (the DistributedSampler analog, reference train.py:233-239);
+    # local_batch_to_global assembles the sharded global arrays below.
+    if args.batch_size % world:
+        raise ValueError(f"--batch-size {args.batch_size} not divisible by "
+                         f"the process count {world}")
+    local_batch_size = args.batch_size // world
     train_set = data.make_dataset(dataset_config, size[0],
                                   config_dir=Path(args.config).parent)
-    try:
-        print(f"Number of items in dataset: {len(train_set):,}")
-    except TypeError:
-        pass
-    train_dl = data.DataLoader(train_set, args.batch_size * args.grad_accum_steps,
-                               seed=seed, num_workers=args.num_workers)
+    if is_main:
+        try:
+            print(f"Number of items in dataset: {len(train_set):,}")
+        except TypeError:
+            pass
+    train_dl = data.DataLoader(train_set, local_batch_size * args.grad_accum_steps,
+                               seed=seed, num_workers=args.num_workers,
+                               process_index=rank, process_count=world)
 
     # on-device augmentation
     augment_prob = model_config["augment_prob"]
@@ -181,7 +192,8 @@ def main():
         **({"class_cond": example["class_cond"]} if "class_cond" in example else {}),
         **init_kwargs)
     params = variables["params"]
-    print(f"Parameters: {K.utils.n_params(params):,}")
+    if is_main:
+        print(f"Parameters: {K.utils.n_params(params):,}")
 
     # forward-pass FLOPs from XLA cost analysis (reference train.py:243-251)
     try:
@@ -195,9 +207,11 @@ def main():
         if model_config["type"] == "image_transformer_v2":
             ana = flops_mod.analytic_transformer_flops(config, batch=1)
             msg += f"; analytic (reference convention): {ana / 1e9:,.3f}"
-        print(msg, flush=True)
+        if is_main:
+            print(msg, flush=True)
     except Exception as e:
-        print(f"(FLOP analysis unavailable: {e})")
+        if is_main:
+            print(f"(FLOP analysis unavailable: {e})")
 
     labels = labels_fn(params)
     opt = training.make_optimizer(config, labels)
@@ -212,11 +226,21 @@ def main():
             "ema_sched": ema_sched.state_dict(), "gns_stats": None,
             "config": config}
     gns_stats = gns_mod.GradientNoiseScale() if args.gns else None
+    # GNS small-batch signal: per-device dp-shard grads when dp > 1 (the
+    # reference's per-rank DDP hook analog), else accumulation microbatches.
+    dp_size = mesh.shape[parallel.DATA_AXIS]
+    gns_use_dp = args.gns and dp_size > 1
+    if args.gns and not gns_use_dp and args.grad_accum_steps < 2:
+        raise ValueError(
+            "--gns needs a small batch distinct from the large one: run "
+            "data-parallel on > 1 device or set --grad-accum-steps > 1")
+    gns_n_small = (args.batch_size // dp_size) if gns_use_dp else args.batch_size
 
     # resume
     ckpt_path = args.resume or checkpoint.latest_checkpoint(args.name)
     if ckpt_path and Path(ckpt_path).exists():
-        print(f"Resuming from {ckpt_path}...")
+        if is_main:
+            print(f"Resuming from {ckpt_path}...")
         state, host = checkpoint.load_checkpoint(ckpt_path, state)
         host["config"] = config  # current run's config wins (as in reference)
         ema_sched.load_state_dict(host["ema_sched"])
@@ -227,7 +251,8 @@ def main():
             params=jax.tree_util.tree_map(jnp.copy, state.ema_params))
         ema_sched = config_mod.make_ema_sched(config)
     if args.resume_inference:
-        print(f"Loading {args.resume_inference}...")
+        if is_main:
+            print(f"Loading {args.resume_inference}...")
         inf_params, _ = checkpoint.load_inference(args.resume_inference)
         inf_params = jax.tree_util.tree_map(
             lambda a, b: jnp.asarray(b, a.dtype), state.params, inf_params)
@@ -240,7 +265,9 @@ def main():
     train_step = training.make_train_step(
         model, denoiser_factory, sample_density, opt,
         num_classes=num_classes, cond_dropout_rate=cond_dropout_rate,
-        stratified=not args.gns, compute_gns=args.gns, apply_fn=apply_fn)
+        stratified=not args.gns, compute_gns=args.gns, apply_fn=apply_fn,
+        gns_mesh=mesh if gns_use_dp else None,
+        gns_data_axis=parallel.DATA_AXIS)
 
     # demo sampling (reference train.py:331-369)
     def make_cfg_model_fn(den, cfg_scale=1.0):
@@ -279,9 +306,13 @@ def main():
             den, x, sigmas, extra_args=extra, eta=0.0, solver_type="heun")
 
     def demo(step):
-        print("Sampling...")
+        if is_main:
+            print("Sampling...")
         demo_key = jax.random.fold_in(jax.random.PRNGKey(seed), step)
+        # all hosts run the (collective) sampling; only rank 0 writes
         x_0 = jax.device_get(demo_sample(state.ema_params, demo_key))
+        if not is_main:
+            return
         grid = K.utils.make_grid(x_0, nrow=math.ceil(args.sample_n ** 0.5))
         filename = f"{args.name}_demo_{step:08}.png"
         K.utils.to_pil_image(grid).save(filename)
@@ -303,12 +334,14 @@ def main():
                 kw["model_name"] = args.dinov2_model
             extractor = evaluation.make_extractor(args.evaluate_with, **kw)
         except Exception as e:
-            print(f"Evaluation disabled (feature extractor unavailable: {e})")
+            if is_main:
+                print(f"Evaluation disabled (feature extractor unavailable: {e})")
             evaluate_enabled = False
     reals_features = None
     if evaluate_enabled:
         from k_diffusion_tpu import evaluation
-        print("Computing features for reals...")
+        if is_main:
+            print("Computing features for reals...")
         real_iter = iter(train_dl)
 
         def next_reals(n):
@@ -319,13 +352,15 @@ def main():
             next_reals, extractor, args.evaluate_n, args.batch_size)
 
     metrics_log = K.utils.CSVLogger(
-        f"{args.name}_metrics.csv", ["step", "time", "loss", "fid", "kid"])
+        f"{args.name}_metrics.csv", ["step", "time", "loss", "fid", "kid"]) \
+        if is_main else None
 
     def evaluate(step):
         if not evaluate_enabled:
             return
         from k_diffusion_tpu import evaluation
-        print("Evaluating...")
+        if is_main:
+            print("Evaluating...")
         sigmas = sampling.get_sigmas_karras(50, sigma_min, sigma_max, rho=7.0)
 
         @jax.jit
@@ -351,6 +386,8 @@ def main():
             sample_fn, extractor, args.evaluate_n, args.batch_size)
         fid = evaluation.fid(fakes_features, reals_features)
         kid = evaluation.kid(fakes_features, reals_features)
+        if not is_main:
+            return
         print(f"FID: {float(fid):g}, KID: {float(kid):g}")
         metrics_log.write(step, host["elapsed"],
                           host["ema_stats"].get("loss", float("nan")),
@@ -360,13 +397,18 @@ def main():
             wandb.log({"FID": float(fid), "KID": float(kid)}, step=step)
 
     def save(step):
-        filename = f"{args.name}_{step:08}.ckpt"
-        print(f"Saving to {filename}...")
         host["step"] = step
         host["ema_sched"] = ema_sched.state_dict()
         host["gns_stats"] = gns_stats.state_dict() if gns_stats else None
+        if not is_main:
+            return
+        filename = f"{args.name}_{step:08}.ckpt"
+        print(f"Saving to {filename}...")
         checkpoint.save_checkpoint(filename, state, host)
         checkpoint.write_state_json(args.name, filename)
+        if use_wandb:
+            import wandb
+            wandb.save(filename)  # reference train.py:422-423
 
     if args.evaluate_only:
         if not evaluate_enabled:
@@ -380,29 +422,31 @@ def main():
     losses_since_last_print = []
     accum = args.grad_accum_steps
     lr_sched = config_mod.make_lr_schedule(config)
-    sharding_batch = jax.sharding.NamedSharding(
-        mesh, jax.sharding.PartitionSpec(None, parallel.DATA_AXIS))
+    spec_batch = jax.sharding.PartitionSpec(None, parallel.DATA_AXIS)
 
     try:
         while True:
             for batch in train_dl:
                 t0 = time.time()
                 b = batch["image"].shape[0]
-                if b != args.batch_size * accum:
+                if b != local_batch_size * accum:
                     continue
-                # on-device augmentation
-                aug_keys = jax.random.split(
-                    jax.random.fold_in(jax.random.PRNGKey(seed + 2), step), b)
+                # on-device augmentation of the host-local slice; per-host
+                # keys must differ so noise decorrelates across processes
+                aug_keys = jax.random.split(jax.random.fold_in(
+                    jax.random.fold_in(jax.random.PRNGKey(seed + 2), step),
+                    rank), b)
                 aug_img, _, aug_cond = aug_batch(aug_keys, jnp.asarray(batch["image"]))
                 dev_batch = {
-                    "reals": aug_img.reshape(accum, args.batch_size, *aug_img.shape[1:]),
-                    "aug_cond": aug_cond.reshape(accum, args.batch_size, 9),
+                    "reals": aug_img.reshape(
+                        accum, local_batch_size, *aug_img.shape[1:]),
+                    "aug_cond": aug_cond.reshape(accum, local_batch_size, 9),
                 }
                 if num_classes and "class" in batch:
                     dev_batch["class_cond"] = jnp.asarray(batch["class"]).reshape(
-                        accum, args.batch_size)
-                dev_batch = {k: jax.device_put(v, sharding_batch)
-                             for k, v in dev_batch.items()}
+                        accum, local_batch_size)
+                dev_batch = parallel.local_batch_to_global(
+                    dev_batch, mesh, spec=spec_batch)
 
                 if args.profile_dir and step == 10:
                     jax.profiler.start_trace(args.profile_dir)
@@ -423,7 +467,7 @@ def main():
                     gns_stats.update(
                         float(metrics["grad_sq_norm_small"]),
                         float(metrics["grad_sq_norm_big"]),
-                        args.batch_size, args.batch_size * accum)
+                        gns_n_small, args.batch_size * accum)
                 host["elapsed"] += time.time() - t0
 
                 if step % 25 == 0 or use_wandb:
@@ -434,7 +478,7 @@ def main():
                     loss_vals = [float(l) for l, _ in losses_since_last_print]
                     loss = loss_vals[-1]
                     losses_since_last_print.clear()
-                if step % 25 == 0:
+                if step % 25 == 0 and is_main:
                     loss_disp = sum(loss_vals) / len(loss_vals)
                     avg_loss = host["ema_stats"]["loss"]
                     gns_str = f", gns: {gns_stats.get_gns():g}" if args.gns else ""
@@ -457,7 +501,8 @@ def main():
                 if step == args.end_step or (step > 0 and step % args.save_every == 0):
                     save(step)
                 if step == args.end_step:
-                    print("Done!")
+                    if is_main:
+                        print("Done!")
                     return
             epoch += 1
             host["epoch"] = epoch
