@@ -1,12 +1,16 @@
-"""Headline benchmark: 256x256 samples/sec/chip at 50-step DPM++(2M) on the
-flagship hourglass DiT (BASELINE.json metric).
+"""Headline benchmark on the flagship hourglass DiT (BASELINE.json metric).
 
-Prints ONE JSON line: {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}.
-
-vs_baseline is measured against this framework's round-1 XLA-fallback path
-(the pre-Pallas number recorded below), since the reference publishes no
-quantitative numbers (BASELINE.md): parity/improvement across rounds shows up
-as vs_baseline > 1.
+Prints ONE JSON line:
+  metric/value/unit/vs_baseline : 256x256 samples/sec/chip at 50-step
+    DPM++(2M) sampling (batch 8), vs this framework's round-1 pre-Pallas
+    XLA-fallback path (the reference publishes no numbers; BASELINE.md).
+  train_imgs_per_sec            : full train step (fwd+bwd+clip+AdamW+EMA),
+    batch 32, no remat.
+  train_imgs_per_sec_remat      : same with per-layer gradient checkpointing
+    (dots_with_no_batch_dims_saveable policy).
+  sample_mfu / train_mfu        : measured model FLOPs / step time / peak,
+    using the reference-convention analytic FLOP count (models/flops.py;
+    2 FLOPs per MAC, backward = 2x forward) and the chip's bf16 peak.
 """
 
 import json
@@ -25,34 +29,51 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
 # 1.497 s per batch-2 forward -> 50-step DPM++(2M) sampling throughput).
 BASELINE_SAMPLES_PER_SEC = 2.0 / (1.497 * 50)
 
+# bf16 dense peak FLOP/s by device kind (for the MFU denominators)
+_PEAK_BF16 = {
+    "TPU v4": 275e12,
+    "TPU v5e": 197e12,
+    "TPU v5 lite": 197e12,
+    "TPU v5p": 459e12,
+    "TPU v6e": 918e12,
+    "TPU v6 lite": 918e12,
+}
 
-def main():
-    import __graft_entry__
-    from k_diffusion_tpu import config as config_mod, sampling
+
+def _peak_flops():
+    kind = jax.devices()[0].device_kind
+    for name, peak in _PEAK_BF16.items():
+        if kind.lower().startswith(name.lower()):
+            return peak, kind
+    return 197e12, kind  # assume v5e-class if unknown
+
+
+def _median_time(run, n_iters=5):
+    run()  # compile
+    run()  # warmup
+    times = []
+    for _ in range(n_iters):
+        t0 = time.time()
+        run()
+        times.append(time.time() - t0)
+    return sorted(times)[n_iters // 2]
+
+
+def bench_sampling(config, model, params, key):
+    from k_diffusion_tpu import sampling
     from k_diffusion_tpu.denoiser import Denoiser
 
-    config = config_mod.load_config(__graft_entry__._flagship_config())
-    model = config_mod.make_model(config, dtype=jnp.bfloat16)
-    key = jax.random.PRNGKey(0)
-    batch = 8  # measured sweet spot on v5e (negative batch scaling beyond)
-    steps = 50
-    x_shape = (batch, 256, 256, 3)
-
+    batch, steps = 8, 50
     sigma_min, sigma_max = config["model"]["sigma_min"], config["model"]["sigma_max"]
-    init_x = jax.random.normal(key, x_shape) * sigma_max
-    variables = jax.jit(model.init)(key, init_x[:1], jnp.ones([1]))
-    params = variables["params"]
-
+    init_x = jax.random.normal(key, (batch, 256, 256, 3)) * sigma_max
     sigmas = sampling.get_sigmas_karras(steps, sigma_min, sigma_max)
-
-    def denoiser_fn(params):
-        return Denoiser(
-            lambda xi, si, **kw: model.apply({"params": params}, xi, si, **kw),
-            sigma_data=config["model"]["sigma_data"])
 
     @jax.jit
     def sample(params, x, sigmas):
-        return sampling.sample_dpmpp_2m(denoiser_fn(params), x, sigmas)
+        den = Denoiser(
+            lambda xi, si, **kw: model.apply({"params": params}, xi, si, **kw),
+            sigma_data=config["model"]["sigma_data"])
+        return sampling.sample_dpmpp_2m(den, x, sigmas)
 
     # NOTE: under the axon tunnel block_until_ready does not reliably
     # synchronize; a host readback does. Use a scalar readback as the fence.
@@ -60,23 +81,97 @@ def main():
         out = sample(params, init_x, sigmas)
         return float(jnp.sum(out[:, 0, 0, 0]))
 
-    run_once()  # compile
-    run_once()  # warmup
+    dt = _median_time(run_once)
+    return batch / dt, dt / steps, batch
 
-    n_iters = 5
-    times = []
-    for _ in range(n_iters):
-        t0 = time.time()
-        run_once()
-        times.append(time.time() - t0)
-    dt = sorted(times)[n_iters // 2]
 
-    samples_per_sec = batch / dt
+def bench_train(config, remat):
+    """Full train step (stratified sigmas, loss, grads, clip, 4-group AdamW,
+    EMA) at batch 32, timed over an 8-step scan with a host readback."""
+    import optax
+    from k_diffusion_tpu import config as config_mod, training
+    from k_diffusion_tpu.models import image_transformer_v2 as itv2
+    from k_diffusion_tpu.utils import ema_update
+
+    model = config_mod.make_model(
+        config, dtype=jnp.bfloat16, checkpointing=remat,
+        remat_policy="dots_with_no_batch_dims_saveable" if remat else None)
+    den_factory = config_mod.make_denoiser_wrapper(config)
+    sample_density = config_mod.make_sample_density(config["model"])
+
+    key = jax.random.PRNGKey(0)
+    b, inner = 32, 8
+    reals = jax.random.normal(key, (b, 256, 256, 3))
+    variables = jax.jit(model.init)(key, reals[:1], jnp.ones([1]))
+    params = variables["params"]
+    opt = training.make_optimizer(config, itv2.param_group_labels(params))
+    opt_state = opt.init(params)
+
+    def loss_fn(params, key):
+        k_sig, k_noise, k_drop = jax.random.split(key, 3)
+        sigma = sample_density(k_sig, (b,))
+        den = den_factory(
+            lambda x, s, **kw: model.apply({"params": params}, x, s,
+                                           train=True,
+                                           rngs={"dropout": k_drop}, **kw))
+        noise = jax.random.normal(k_noise, reals.shape, reals.dtype)
+        return jnp.mean(den.loss(reals, noise, sigma))
+
+    @jax.jit
+    def scan_steps(params, opt_state, key):
+        def body(carry, i):
+            params, opt_state, ema = carry
+            loss, grads = jax.value_and_grad(loss_fn)(
+                params, jax.random.fold_in(key, i))
+            updates, opt_state = opt.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            ema = ema_update(params, ema, 0.99)
+            return (params, opt_state, ema), loss
+        carry, losses = jax.lax.scan(body, (params, opt_state, params),
+                                     jnp.arange(inner))
+        return carry[0], losses
+
+    def run_once():
+        p, losses = scan_steps(params, opt_state, key)
+        return (float(jnp.sum(jax.tree_util.tree_leaves(p)[0]))
+                + float(losses.sum()))
+
+    dt = _median_time(run_once, n_iters=3) / inner
+    return b / dt, dt, b
+
+
+def main():
+    import __graft_entry__
+    from k_diffusion_tpu import config as config_mod
+    from k_diffusion_tpu.models import flops as flops_mod
+
+    config = config_mod.load_config(__graft_entry__._flagship_config())
+    model = config_mod.make_model(config, dtype=jnp.bfloat16)
+    key = jax.random.PRNGKey(0)
+    init_x = jax.random.normal(key, (1, 256, 256, 3))
+    params = jax.jit(model.init)(key, init_x, jnp.ones([1]))["params"]
+
+    samples_per_sec, dt_fwd_step, sample_batch = bench_sampling(
+        config, model, params, key)
+    del params
+    train_ips, dt_train, train_batch = bench_train(config, remat=False)
+    train_ips_remat, _, _ = bench_train(config, remat=True)
+
+    peak, kind = _peak_flops()
+    fwd_flops = 2 * flops_mod.analytic_transformer_flops(config, batch=1)
+    sample_mfu = fwd_flops * sample_batch / dt_fwd_step / peak
+    train_mfu = 3 * fwd_flops * train_batch / dt_train / peak
+
     print(json.dumps({
         "metric": "256x256 samples/sec/chip (50-step DPM++ 2M, flagship HDiT)",
         "value": round(samples_per_sec, 4),
         "unit": "samples/sec/chip",
         "vs_baseline": round(samples_per_sec / BASELINE_SAMPLES_PER_SEC, 2),
+        "train_imgs_per_sec": round(train_ips, 1),
+        "train_imgs_per_sec_remat": round(train_ips_remat, 1),
+        "sample_mfu": round(sample_mfu, 4),
+        "train_mfu": round(train_mfu, 4),
+        "device_kind": kind,
     }))
 
 

@@ -134,8 +134,11 @@ def load_config(path_or_dict):
     return deep_merge(_DEFAULTS, config)
 
 
-def make_model(config, dtype=None, checkpointing=False):
-    """Builds the flax model from a config (reference config.py:149-213)."""
+def make_model(config, dtype=None, checkpointing=False, remat_policy=None):
+    """Builds the flax model from a config (reference config.py:149-213).
+
+    ``remat_policy``: optional jax.checkpoint_policies name applied when
+    ``checkpointing`` (image_transformer_v2 only)."""
     import jax.numpy as jnp
 
     dataset_config = config["dataset"]
@@ -214,6 +217,7 @@ def make_model(config, dtype=None, checkpointing=False):
             num_classes=num_classes + 1 if num_classes else 0,
             mapping_cond_dim=config["mapping_cond_dim"],
             checkpointing=checkpointing,
+            remat_policy=remat_policy,
             dtype=dtype,
         )
     raise ValueError(f'unsupported model type {config["type"]}')

@@ -138,11 +138,12 @@ class SelfAttentionBlock(nn.Module):
         scale = self.param("scale", nn.initializers.constant(10.0), (n_heads,))
 
         norm_scale = cond.astype(self.dtype) @ norm_kernel.astype(self.dtype) + 1
-        use_fused = bool(deterministic and not self.tp_axis)
-        if use_fused:
-            # inference: norm -> qkv matmul -> cosine-sim -> RoPE as one
-            # Pallas kernel producing channel-packed maps (falls back to the
-            # identical XLA chain off-TPU / under force_xla)
+        from ..ops.pallas import train_fusion_enabled
+        if not self.tp_axis and (deterministic or train_fusion_enabled()):
+            # norm -> qkv matmul -> cosine-sim -> RoPE as one Pallas kernel
+            # producing channel-packed maps (falls back to the identical XLA
+            # chain off-TPU / under force_xla). Train-eligible: its
+            # custom_vjp backward recomputes through the XLA composition.
             from ..ops.pallas import fused_qkv_prologue
             qp, kp, vp = fused_qkv_prologue(
                 x, pos, norm_scale, w_qkv, scale, n_heads)
@@ -172,17 +173,18 @@ class SelfAttentionBlock(nn.Module):
         # above); single-model-axis runs take the Pallas fast path.
         c = n_heads * self.d_head
         if isinstance(self.attn_spec, GlobalAttentionSpec):
-            if use_fused:
-                qs = qp.reshape(b, h * w, n_heads, self.d_head)
-                ks = kp.reshape(b, h * w, n_heads, self.d_head)
-                vs = vp.reshape(b, h * w, n_heads, self.d_head)
-            else:
+            if self.tp_axis:
                 qs = q.reshape(b, h * w, n_heads, self.d_head)
                 ks = k.reshape(b, h * w, n_heads, self.d_head)
                 vs = v.reshape(b, h * w, n_heads, self.d_head)
-            if self.tp_axis:
                 out = ops.global_attention(qs, ks, vs, scale=1.0)
             else:
+                qq, kk, vv = (qp, kp, vp) if q is None else (
+                    q.reshape(b, h, w, c), k.reshape(b, h, w, c),
+                    v.reshape(b, h, w, c))
+                qs = qq.reshape(b, h * w, n_heads, self.d_head)
+                ks = kk.reshape(b, h * w, n_heads, self.d_head)
+                vs = vv.reshape(b, h * w, n_heads, self.d_head)
                 from ..ops.pallas import flash_attention
                 out = flash_attention(qs, ks, vs, scale=1.0)
             x = out.reshape(b, h, w, c)
@@ -191,7 +193,7 @@ class SelfAttentionBlock(nn.Module):
                 out = ops.neighborhood_attention(
                     q, k, v, self.attn_spec.kernel_size, scale=1.0)
                 x = out.reshape(b, h, w, c)
-            elif use_fused:
+            elif deterministic:
                 # inference: channel-packed kernel — heads stay in the
                 # channel dim, so no (b,h,w,heads,e)->(b*heads,h,w,e)
                 # transposes are paid (+17% sampling throughput). NOTE: the
@@ -202,13 +204,17 @@ class SelfAttentionBlock(nn.Module):
                 x = na2d_packed(qp, kp, vp, n_heads,
                                 self.attn_spec.kernel_size, scale=1.0)
             else:
-                # training: per-head kernel (its hand-written backward is
-                # much faster than the packed kernel's recompute path)
+                # training: per-head kernel (hand-written dq/dkv backward;
+                # the head split from the packed maps is a free reshape)
                 from ..ops.pallas import na2d
+                if q is None:
+                    q = qp.reshape(b, h, w, n_heads, self.d_head)
+                    k = kp.reshape(b, h, w, n_heads, self.d_head)
+                    v = vp.reshape(b, h, w, n_heads, self.d_head)
                 out = na2d(q, k, v, self.attn_spec.kernel_size, scale=1.0)
                 x = out.reshape(b, h, w, c)
         elif isinstance(self.attn_spec, ShiftedWindowAttentionSpec):
-            if use_fused:
+            if not self.tp_axis and q is None:
                 q = qp.reshape(b, h, w, n_heads, self.d_head)
                 k = kp.reshape(b, h, w, n_heads, self.d_head)
                 v = vp.reshape(b, h, w, n_heads, self.d_head)
@@ -267,10 +273,16 @@ class FeedForwardBlock(nn.Module):
 
         t = hh * ww
         block = 512 if t % 512 == 0 else (256 if t % 256 == 0 else 0)
-        # dropout is inactive when deterministic, so the fused path is exact
-        use_fused = bool(deterministic and not self.tp_axis and block)
+        # the fused kernel contains no dropout, so it is exact whenever
+        # dropout is inactive — always at inference, and in training for the
+        # dropout=0 blocks (train-eligible: its custom_vjp backward
+        # recomputes through the XLA composition)
+        from ..ops.pallas import train_fusion_enabled
+        use_fused = bool((deterministic
+                          or (self.dropout == 0.0 and train_fusion_enabled()))
+                         and not self.tp_axis and block)
         if use_fused:
-            # inference: one Pallas kernel for norm -> GEGLU up -> down ->
+            # one Pallas kernel for norm -> GEGLU up -> down ->
             # skip (fewer op launches; see PERFORMANCE.md)
             from ..ops.pallas import fused_geglu_ffn
             out = fused_geglu_ffn(
@@ -368,7 +380,7 @@ class MappingNetwork(nn.Module):
                   for i in range(self.n_layers)]
         out_scale = _ScaleParam(self.d_model, name="out_norm")()
 
-        if deterministic:
+        if deterministic or self.dropout == 0.0:
             # dropout is inactive, so the fused kernel is exact
             from ..ops.pallas import fused_mapping
             return fused_mapping(x, in_scale, out_scale, blocks,
@@ -486,6 +498,10 @@ class ImageTransformerDenoiserModelV2(nn.Module):
     num_classes: int = 0
     mapping_cond_dim: int = 0
     checkpointing: bool = False
+    # name of a jax.checkpoint_policies entry (e.g.
+    # 'dots_with_no_batch_dims_saveable'): save the flagged intermediates
+    # instead of rematerializing everything, cutting the remat backward tax
+    remat_policy: Any = None
     tp_axis: Any = None  # mesh axis name for tensor parallelism (or None)
     dtype: Any = jnp.float32
 
@@ -527,7 +543,10 @@ class ImageTransformerDenoiserModelV2(nn.Module):
 
         layer_cls = TransformerLayer
         if self.checkpointing:
-            layer_cls = nn.remat(TransformerLayer, static_argnums=(4,))
+            policy = (getattr(jax.checkpoint_policies, self.remat_policy)
+                      if self.remat_policy else None)
+            layer_cls = nn.remat(TransformerLayer, static_argnums=(4,),
+                                 policy=policy)
 
         def make_level(spec, prefix, offset=0):
             def run(x, pos):

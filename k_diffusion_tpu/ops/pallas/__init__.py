@@ -24,6 +24,16 @@ def xla_forced():
     return _FORCE_XLA
 
 
+def train_fusion_enabled():
+    """Whether the TRAINING path routes through the fused Pallas forward
+    kernels (their custom_vjp backwards run the standard residual VJPs; see
+    fused_qkv/fused_ffn). On by default — measured +7% full-step throughput
+    on the flagship (PERFORMANCE.md); KDT_TRAIN_FUSION=0 restores the
+    unfused XLA prologue/FFN in training for A/B measurements."""
+    import os
+    return os.environ.get("KDT_TRAIN_FUSION", "1") == "1"
+
+
 from .na2d import na2d, na2d_packed, na2d_packed_proj, na2d_reference  # noqa: E402
 from .flash import flash_attention  # noqa: E402
 from .fused_ffn import fused_geglu_ffn  # noqa: E402
@@ -32,4 +42,5 @@ from .fused_mapping import fused_mapping  # noqa: E402
 
 __all__ = ["na2d", "na2d_packed", "na2d_packed_proj", "na2d_reference",
            "flash_attention", "fused_geglu_ffn", "fused_qkv_prologue",
-           "fused_mapping", "force_xla", "xla_forced"]
+           "fused_mapping", "force_xla", "xla_forced",
+           "train_fusion_enabled"]

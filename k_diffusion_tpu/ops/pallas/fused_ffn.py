@@ -8,9 +8,12 @@ tile in VMEM through norm -> up-projection -> GEGLU -> down-projection ->
 skip-add, reading x once and writing the output once; both weight matrices
 stay VMEM-resident across the token grid.
 
-Forward-only fusion: the backward pass recomputes through the unfused XLA
-composition via custom_vjp (sampling — the headline metric — never
-differentiates; training takes the XLA path's VJP at unchanged speed).
+Train-eligible: under differentiation the forward kernel also emits the
+``up`` projection (the GEGLU input) as a residual, so the backward is the
+standard 4-matmul VJP from saved residuals — only the (cheap, VPU-bound)
+RMS norm and GELU are recomputed, not the up/down matmuls. The plain eval
+path runs the single-output kernel (custom_vjp primals only invoke the fwd
+rule under differentiation).
 """
 
 import functools
@@ -34,7 +37,8 @@ def _ffn_reference(x, scale, w_up, w_down, eps):
     return x + jnp.einsum("btf,fe->bte", h, w_down.astype(x.dtype))
 
 
-def _ffn_kernel(x_ref, scale_ref, w_up_ref, w_down_ref, o_ref, *, eps, d_ff):
+def _ffn_kernel(x_ref, scale_ref, w_up_ref, w_down_ref, o_ref, *res_refs,
+                eps, d_ff):
     x = x_ref[0]                       # (T, d)
     scale = scale_ref[0]               # (1, d)
     xf = x.astype(jnp.float32)
@@ -44,6 +48,8 @@ def _ffn_kernel(x_ref, scale_ref, w_up_ref, w_down_ref, o_ref, *, eps, d_ff):
     up = jax.lax.dot_general(
         xn, w_up_ref[...], dimension_numbers=(((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32)  # (T, 2f)
+    if res_refs:  # training: save the GEGLU input for the backward
+        res_refs[0][0] = up.astype(res_refs[0].dtype)
     a = up[:, :d_ff]
     gate = up[:, d_ff:]
     # erf-gelu; Mosaic has no erf primitive, so use the Abramowitz-Stegun
@@ -63,11 +69,17 @@ def _ffn_kernel(x_ref, scale_ref, w_up_ref, w_down_ref, o_ref, *, eps, d_ff):
     o_ref[0] = (out + xf).astype(o_ref.dtype)
 
 
-def _ffn_fwd(x, scale, w_up, w_down, eps, block):
+def _ffn_fwd(x, scale, w_up, w_down, eps, block, save_up=False):
     b, t, d = x.shape
     d_ff = w_down.shape[0]
     grid = (b, pl.cdiv(t, block))
-    return pl.pallas_call(
+    out_specs = [pl.BlockSpec((1, block, d), lambda i, j: (i, j, 0))]
+    out_shape = [jax.ShapeDtypeStruct(x.shape, x.dtype)]
+    if save_up:
+        out_specs.append(pl.BlockSpec((1, block, 2 * d_ff),
+                                      lambda i, j: (i, j, 0)))
+        out_shape.append(jax.ShapeDtypeStruct((b, t, 2 * d_ff), x.dtype))
+    res = pl.pallas_call(
         functools.partial(_ffn_kernel, eps=eps, d_ff=d_ff),
         grid=grid,
         in_specs=[
@@ -76,22 +88,48 @@ def _ffn_fwd(x, scale, w_up, w_down, eps, block):
             pl.BlockSpec((d, 2 * d_ff), lambda i, j: (0, 0)),
             pl.BlockSpec((d_ff, d), lambda i, j: (0, 0)),
         ],
-        out_specs=pl.BlockSpec((1, block, d), lambda i, j: (i, j, 0)),
-        out_shape=jax.ShapeDtypeStruct(x.shape, x.dtype),
+        out_specs=out_specs if save_up else out_specs[0],
+        out_shape=out_shape if save_up else out_shape[0],
     )(x, scale[:, None, :], w_up, w_down)
+    return res if save_up else (res, None)
+
+
+def _norm_head(x, scale, w_up, eps):
+    """x -> up, exactly the reference's prologue math."""
+    dtype = jnp.promote_types(x.dtype, jnp.float32)
+    mean_sq = jnp.mean(jax.lax.square(x.astype(dtype)), axis=-1, keepdims=True)
+    xn = (x * (scale.astype(dtype)[:, None, :]
+               * jax.lax.rsqrt(mean_sq + eps)).astype(x.dtype))
+    return jnp.einsum("bte,ef->btf", xn, w_up.astype(x.dtype))
+
+
+def _geglu_tail(up, w_down, x):
+    """up -> x + down(geglu(up)), exactly the reference's epilogue math."""
+    a, gate = jnp.split(up, 2, axis=-1)
+    h = a * jax.nn.gelu(gate, approximate=False)
+    return x + jnp.einsum("btf,fe->bte", h, w_down.astype(up.dtype))
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5))
 def _fused_ffn_inner(x, scale, w_up, w_down, eps, block):
-    return _ffn_fwd(x, scale, w_up, w_down, eps, block)
+    out, _ = _ffn_fwd(x, scale, w_up, w_down, eps, block)
+    return out
 
 def _fused_ffn_inner_fwd(x, scale, w_up, w_down, eps, block):
-    return _ffn_fwd(x, scale, w_up, w_down, eps, block), (x, scale, w_up, w_down)
+    # under differentiation: also save the up projection, so the backward
+    # runs the standard 4 matmuls instead of recomputing the forward
+    out, up = _ffn_fwd(x, scale, w_up, w_down, eps, block, save_up=True)
+    return out, (x, scale, w_up, w_down, up)
 
 def _fused_ffn_inner_bwd(eps, block, res, g):
-    x, scale, w_up, w_down = res
-    _, vjp = jax.vjp(lambda *a: _ffn_reference(*a, eps), x, scale, w_up, w_down)
-    return vjp(g)
+    x, scale, w_up, w_down, up = res
+    _, tail_vjp = jax.vjp(lambda up_, wd_, x_: _geglu_tail(up_, wd_, x_),
+                          up, w_down, x)
+    dup, dw_down, dx_skip = tail_vjp(g)
+    _, head_vjp = jax.vjp(lambda x_, s_, wu_: _norm_head(x_, s_, wu_, eps),
+                          x, scale, w_up)
+    dx, dscale, dw_up = head_vjp(dup)
+    return dx + dx_skip, dscale, dw_up, dw_down
 
 _fused_ffn_inner.defvjp(_fused_ffn_inner_fwd, _fused_ffn_inner_bwd)
 

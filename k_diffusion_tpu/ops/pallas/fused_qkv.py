@@ -77,8 +77,8 @@ def _rope_tables(h, w, n_heads, d_head):
 
 
 def _fused_qkv_kernel(x_ref, nscale_ref, wqkv_ref, rootsc_ref, cos_ref,
-                      sin_ref, oq_ref, ok_ref, ov_ref, *, d, n_heads, eps,
-                      cos_eps):
+                      sin_ref, oq_ref, ok_ref, ov_ref, *res_refs, d, n_heads,
+                      eps, cos_eps):
     tqh, tqw = x_ref.shape[1], x_ref.shape[2]
     nq = tqh * tqw
     e = d // n_heads
@@ -92,6 +92,8 @@ def _fused_qkv_kernel(x_ref, nscale_ref, wqkv_ref, rootsc_ref, cos_ref,
     qkv = jax.lax.dot_general(
         xn, wqkv_ref[...], dimension_numbers=(((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32)  # (nq, 3d) f32
+    if res_refs:  # training: save the raw projection for the backward
+        res_refs[0][0] = qkv.astype(res_refs[0].dtype).reshape(tqh, tqw, 3 * d)
 
     q = qkv[:, :d]
     k = qkv[:, d:2 * d]
@@ -146,7 +148,8 @@ def _reference(x, pos, norm_scale, w_qkv, attn_scale, n_heads, eps, cos_eps):
             v.reshape(b, h, w, d))
 
 
-def _fused_fwd(x, norm_scale, w_qkv, attn_scale, n_heads, eps, cos_eps, tile):
+def _fused_fwd(x, norm_scale, w_qkv, attn_scale, n_heads, eps, cos_eps, tile,
+               save_raw=False):
     b, h, w, d = x.shape
     cos_t, sin_t = _rope_tables(h, w, n_heads, d // n_heads)
     grid = (b, h // tile, w // tile)
@@ -154,8 +157,14 @@ def _fused_fwd(x, norm_scale, w_qkv, attn_scale, n_heads, eps, cos_eps, tile):
                                eps=eps, cos_eps=cos_eps)
     out_sds = jax.ShapeDtypeStruct((b, h, w, d), x.dtype)
     out_spec = pl.BlockSpec((1, tile, tile, d), lambda i, j, l: (i, j, l, 0))
+    out_specs = [out_spec, out_spec, out_spec]
+    out_shape = [out_sds, out_sds, out_sds]
+    if save_raw:
+        out_specs.append(pl.BlockSpec((1, tile, tile, 3 * d),
+                                      lambda i, j, l: (i, j, l, 0)))
+        out_shape.append(jax.ShapeDtypeStruct((b, h, w, 3 * d), x.dtype))
     root = jnp.repeat(jnp.sqrt(attn_scale.astype(jnp.float32)), d // n_heads)
-    return pl.pallas_call(
+    res = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[
@@ -166,10 +175,11 @@ def _fused_fwd(x, norm_scale, w_qkv, attn_scale, n_heads, eps, cos_eps, tile):
             pl.BlockSpec((tile, tile, d), lambda i, j, l: (j, l, 0)),
             pl.BlockSpec((tile, tile, d), lambda i, j, l: (j, l, 0)),
         ],
-        out_specs=(out_spec, out_spec, out_spec),
-        out_shape=(out_sds, out_sds, out_sds),
+        out_specs=tuple(out_specs),
+        out_shape=tuple(out_shape),
     )(x, norm_scale[:, None, :] + 0.0, w_qkv.astype(x.dtype), root[None],
       jnp.asarray(cos_t), jnp.asarray(sin_t))
+    return res
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8))
@@ -179,20 +189,72 @@ def _fused_qkv_inner(x, pos, norm_scale, w_qkv, attn_scale, n_heads, eps,
                       cos_eps, tile)
 
 
+def _head_chain(x, norm_scale, w_qkv, eps):
+    """x -> raw qkv projection (the reference's pre-attention matmul)."""
+    xn = norms.rms_norm(x, norm_scale[:, None, None, :], eps)
+    return xn @ w_qkv.astype(xn.dtype)
+
+
+def _mid_chain_packed(qkv_raw, attn_scale, n_heads, cos_eps):
+    """raw qkv -> (q, k, v): cosine-sim scaling + RoPE, computed entirely in
+    the packed (b, h, w, c) layout — per-head sums of squares via the
+    block-diagonal-ones matmul and RoPE as x*cosT + laneswap(x)*sinT (the
+    same formulation as the kernel), so neither this chain nor its VJP
+    materializes the (3, heads, e) split that forces XLA relayout copies."""
+    b, h, w, d3 = qkv_raw.shape
+    d = d3 // 3
+    e = d // n_heads
+    cos_t, sin_t = _rope_tables(h, w, n_heads, e)  # (h, w, d) host tables
+    q = qkv_raw[..., :d]
+    k = qkv_raw[..., d:2 * d]
+    v = qkv_raw[..., 2 * d:]
+
+    row, col = np.indices((d, d))
+    blockdiag = jnp.asarray((row // e == col // e).astype(np.float32))
+    root = jnp.repeat(jnp.sqrt(attn_scale.astype(jnp.float32)), e)
+
+    def cossim(t):
+        tf = t.astype(jnp.float32)
+        ssq = jax.lax.dot_general(
+            tf * tf, blockdiag, dimension_numbers=(((3,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        return tf * (root * jax.lax.rsqrt(ssq + cos_eps))
+
+    shift = e // 4  # rotation pair distance in lanes
+    lane = jax.lax.broadcasted_iota(jnp.int32, (d,), 0)
+    swap_sel = (lane // shift) % 2 == 0
+
+    def rope(t):
+        left = jnp.roll(t, -shift, axis=-1)
+        right = jnp.roll(t, shift, axis=-1)
+        swapped = jnp.where(swap_sel, left, right)
+        return t * jnp.asarray(cos_t) + swapped * jnp.asarray(sin_t)
+
+    out_dtype = qkv_raw.dtype
+    return (rope(cossim(q)).astype(out_dtype),
+            rope(cossim(k)).astype(out_dtype), v)
+
+
 def _fused_qkv_fwd_rule(x, pos, norm_scale, w_qkv, attn_scale, n_heads, eps,
                         cos_eps, tile):
-    out = _fused_fwd(x, norm_scale, w_qkv, attn_scale, n_heads, eps,
-                     cos_eps, tile)
-    return out, (x, pos, norm_scale, w_qkv, attn_scale)
+    # under differentiation: also save the raw qkv projection, so the
+    # backward runs the standard residual VJP instead of recomputing the
+    # whole prologue (only the cheap RMS norm is recomputed)
+    q, k, v, qkv_raw = _fused_fwd(x, norm_scale, w_qkv, attn_scale, n_heads,
+                                  eps, cos_eps, tile, save_raw=True)
+    return (q, k, v), (x, pos, norm_scale, w_qkv, attn_scale, qkv_raw)
 
 
 def _fused_qkv_bwd_rule(n_heads, eps, cos_eps, tile, res, g):
-    x, pos, norm_scale, w_qkv, attn_scale = res
-    _, vjp = jax.vjp(
-        lambda x_, ns_, wq_, as_: _reference(x_, pos, ns_, wq_, as_, n_heads,
-                                             eps, cos_eps),
-        x, norm_scale, w_qkv, attn_scale)
-    dx, dns, dwq, das = vjp(g)
+    x, pos, norm_scale, w_qkv, attn_scale, qkv_raw = res
+    _, mid_vjp = jax.vjp(
+        lambda qr_, as_: _mid_chain_packed(qr_, as_, n_heads, cos_eps),
+        qkv_raw, attn_scale)
+    dqkv_raw, das = mid_vjp(g)
+    _, head_vjp = jax.vjp(
+        lambda x_, ns_, wq_: _head_chain(x_, ns_, wq_, eps),
+        x, norm_scale, w_qkv)
+    dx, dns, dwq = head_vjp(dqkv_raw)
     return dx, jnp.zeros_like(pos), dns, dwq, das
 
 

@@ -54,19 +54,31 @@ def _window_start(c, r, size, kernel_size):
 
 def _halo_geometry(h, w, kk, tq):
     """Static halo geometry shared by the halo gather and the mask tables.
-    Halos are extracted on the XLA side (one fused gather per call), so no
-    alignment padding is needed — the slice is exactly tq + kk - 1 wide."""
+    Halos are extracted on the XLA side (one fused gather per call). The
+    column count is padded up to a multiple of 8: the in-kernel flatten
+    (kr, krw, e) -> (kr*krw, e) is only layout-trivial when the sublane dim
+    krw is a multiple of 8 (otherwise XLA materializes a relayout copy of
+    the whole halo tensor). The extra columns are real, unique positions;
+    the exact per-(query, key-position) window test in the mask tables
+    keeps them from changing the result."""
     r = (kk - 1) // 2
     kr = min(tq + kk - 1, h)
-    krw = min(tq + kk - 1, w)
+    krw = min(_round_up(tq + kk - 1, 8), w)
     return r, kr, krw
 
 
 @functools.lru_cache
-def _halo_indices(h, w, kk, tq):
-    """Static (nrb, kr) row and (ncb, krw) col gather indices per tile."""
+def _halo_indices(h, w, kk, tq, radius=None):
+    """Static (nrb, kr) row and (ncb, krw) col gather indices per tile.
+    ``radius`` defaults to the window radius (forward kv halos); the dkv
+    backward passes radius=kk-1 (the farthest a clamped window can reach)."""
     import numpy as np
-    r, kr, krw = _halo_geometry(h, w, kk, tq)
+    if radius is None:
+        r, kr, krw = _halo_geometry(h, w, kk, tq)
+    else:
+        r = radius
+        kr = min(tq + 2 * radius, h)
+        krw = min(_round_up(tq + 2 * radius, 8), w)
     nrb, ncb = h // tq, w // tq
     rows = np.zeros((nrb, kr), np.int32)
     cols = np.zeros((ncb, krw), np.int32)
@@ -79,16 +91,27 @@ def _halo_indices(h, w, kk, tq):
     return rows, cols
 
 
-def _extract_halos(x, kk, tq):
-    """(n, h, w, e) -> (n, nrb, ncb, kr*krw, e): per-tile halo windows,
-    gathered once in XLA so the kernel reads clean contiguous blocks."""
+def _extract_halos(x, kk, tq, radius=None):
+    """(n, h, w, e) -> (n, nrb, ncb, kr*krw, e): per-tile halo windows.
+
+    Built from STATIC slices + stack (tile offsets are compile-time
+    constants): a fancy-index gather here produces a transposed output
+    layout that XLA then fixes with a full-tensor relayout copy, while
+    static slices concatenate directly in the native layout. The (kr, krw)
+    flatten is layout-trivial because krw is padded to a multiple of 8
+    (see _halo_geometry)."""
     n, h, w, e = x.shape
-    rows, cols = _halo_indices(h, w, kk, tq)
+    rows, cols = _halo_indices(h, w, kk, tq, radius)
     nrb, kr = rows.shape
     ncb, krw = cols.shape
-    r_idx = jnp.asarray(rows)[:, None, :, None]    # (nrb, 1, kr, 1)
-    c_idx = jnp.asarray(cols)[None, :, None, :]    # (1, ncb, 1, krw)
-    halos = x[:, r_idx, c_idx, :]                  # (n, nrb, ncb, kr, krw, e)
+    tiles = []
+    for j in range(nrb):
+        rs = int(rows[j][0])
+        for l in range(ncb):
+            cs = int(cols[l][0])
+            tiles.append(jax.lax.slice(
+                x, (0, rs, cs, 0), (n, rs + kr, cs + krw, e)))
+    halos = jnp.stack(tiles, axis=1)               # (n, nrb*ncb, kr, krw, e)
     return halos.reshape(n, nrb, ncb, kr * krw, e)
 
 
@@ -129,7 +152,10 @@ def _fwd_masks(h, w, kk, tq):
 
 @functools.lru_cache
 def _dkv_masks(h, w, kk, tq):
-    """uint8 (nrb, ncb, qr, w, nk) mask tables for the dkv kernel."""
+    """uint8 (nrb, ncb, qr, w, nk) mask tables for the dkv kernel (full-width
+    row-slab query geometry — measured faster end-to-end than gathering 2-D
+    query halos, whose materialization costs more HBM traffic than the
+    smaller matmuls save)."""
     import numpy as np
     halo = kk - 1
     qr = min(_round_up(tq + 2 * halo, 8), h)
@@ -187,25 +213,26 @@ def _na_fwd(q, k, v, kernel_size, scale, tile):
     n, h, w, e = q.shape
     tq = tile
     nrb, ncb = h // tq, w // tq
-    grid = (n, nrb, ncb)
+    # batch fastest: per-tile mask blocks are DMA'd once, reused across n
+    grid = (nrb, ncb, n)
     masks = jnp.asarray(_fwd_masks(h, w, kernel_size, tq))
     nq, nk = masks.shape[2], masks.shape[3]
     k_halo = _extract_halos(k, kernel_size, tq)
     v_halo = _extract_halos(v, kernel_size, tq)
-    halo_spec = pl.BlockSpec((1, 1, 1, nk, e), lambda i, j, l: (i, j, l, 0, 0))
+    halo_spec = pl.BlockSpec((1, 1, 1, nk, e), lambda j, l, i: (i, j, l, 0, 0))
     out, lse = pl.pallas_call(
         functools.partial(_na_fwd_kernel, kernel_size=kernel_size, tq=tq,
                           h=h, w=w, scale=scale),
         grid=grid,
         in_specs=[
-            pl.BlockSpec((1, tq, tq, e), lambda i, j, l: (i, j, l, 0)),
+            pl.BlockSpec((1, tq, tq, e), lambda j, l, i: (i, j, l, 0)),
             halo_spec,
             halo_spec,
-            pl.BlockSpec((1, 1, nq, nk), lambda i, j, l: (j, l, 0, 0)),
+            pl.BlockSpec((1, 1, nq, nk), lambda j, l, i: (j, l, 0, 0)),
         ],
         out_specs=[
-            pl.BlockSpec((1, tq, tq, e), lambda i, j, l: (i, j, l, 0)),
-            pl.BlockSpec((1, 1, 1, tq * tq, 1), lambda i, j, l: (i, j, l, 0, 0)),
+            pl.BlockSpec((1, tq, tq, e), lambda j, l, i: (i, j, l, 0)),
+            pl.BlockSpec((1, 1, 1, tq * tq, 1), lambda j, l, i: (i, j, l, 0, 0)),
         ],
         out_shape=[
             jax.ShapeDtypeStruct(q.shape, q.dtype),
@@ -243,7 +270,11 @@ def _na_dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, mask_ref,
 def _na_dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, mask_ref,
                    dk_ref, dv_ref, *, kernel_size, tk, h, w, scale):
     """Grid over KEY tiles. Loads a full-width row slab of queries (the only
-    rows whose windows can reach this key tile) and masks columns."""
+    rows whose windows can reach this key tile) and masks columns. The q/do
+    maps arrive as full-map blocks that stay VMEM-resident across a map's
+    key tiles (grid iterates tiles fastest), so no query halos are
+    materialized in HBM — measured faster than the 2-D-halo formulation
+    despite the larger matmuls."""
     kk = kernel_size
     halo = kk - 1
     qr = min(_round_up(tk + 2 * halo, 8), h)
@@ -295,40 +326,45 @@ def _na_bwd(kernel_size, scale, tile, res, dout):
     # (n, h, w) -> tilewise (n, nrb, ncb, tq*tq, 1)
     delta_tiles = delta_map.reshape(n, nrb, tq, ncb, tq)
     delta_tiles = jnp.moveaxis(delta_tiles, 2, 3).reshape(n, nrb, ncb, tq * tq, 1)
-    # tilewise -> map for the dkv kernel
+    # tilewise -> map for the dkv halo gather
     lse_map = jnp.moveaxis(
         lse_tiles.reshape(n, nrb, ncb, tq, tq), 3, 2).reshape(n, h, w)
-    grid = (n, nrb, ncb)
-    full = pl.BlockSpec((1, h, w, e), lambda i, j, l: (i, 0, 0, 0))
-    full2d = pl.BlockSpec((1, h, w), lambda i, j, l: (i, 0, 0))
-    tile4 = pl.BlockSpec((1, tq, tq, e), lambda i, j, l: (i, j, l, 0))
-    stat = pl.BlockSpec((1, 1, 1, tq * tq, 1), lambda i, j, l: (i, j, l, 0, 0))
+    # batch (n) is the FASTEST grid dim so the per-tile mask block is DMA'd
+    # once and reused across the whole batch
+    grid = (nrb, ncb, n)
+    tile4 = pl.BlockSpec((1, tq, tq, e), lambda j, l, i: (i, j, l, 0))
+    stat = pl.BlockSpec((1, 1, 1, tq * tq, 1), lambda j, l, i: (i, j, l, 0, 0))
 
     fwd_masks = jnp.asarray(_fwd_masks(h, w, kernel_size, tq))
     nq, nk = fwd_masks.shape[2], fwd_masks.shape[3]
     k_halo = _extract_halos(k, kernel_size, tq)
     v_halo = _extract_halos(v, kernel_size, tq)
-    halo_spec = pl.BlockSpec((1, 1, 1, nk, e), lambda i, j, l: (i, j, l, 0, 0))
+    halo_spec = pl.BlockSpec((1, 1, 1, nk, e), lambda j, l, i: (i, j, l, 0, 0))
     dq = pl.pallas_call(
         functools.partial(_na_dq_kernel, kernel_size=kernel_size, tq=tq,
                           h=h, w=w, scale=scale),
         grid=grid,
         in_specs=[tile4, halo_spec, halo_spec, tile4, stat, stat,
-                  pl.BlockSpec((1, 1, nq, nk), lambda i, j, l: (j, l, 0, 0))],
+                  pl.BlockSpec((1, 1, nq, nk), lambda j, l, i: (j, l, 0, 0))],
         out_specs=tile4,
         out_shape=jax.ShapeDtypeStruct(q.shape, q.dtype),
     )(q, k_halo, v_halo, dout, lse_tiles, delta_tiles, fwd_masks)
 
+    # dkv: full q/do maps stay VMEM-resident per map (grid tiles-fastest)
     dkv_masks = jnp.asarray(_dkv_masks(h, w, kernel_size, tq))
     qr, nk2 = dkv_masks.shape[2], dkv_masks.shape[4]
+    grid_kv = (n, nrb, ncb)
+    full = pl.BlockSpec((1, h, w, e), lambda i, j, l: (i, 0, 0, 0))
+    full2d = pl.BlockSpec((1, h, w), lambda i, j, l: (i, 0, 0))
+    tile4_kv = pl.BlockSpec((1, tq, tq, e), lambda i, j, l: (i, j, l, 0))
     dk, dv = pl.pallas_call(
         functools.partial(_na_dkv_kernel, kernel_size=kernel_size, tk=tq,
                           h=h, w=w, scale=scale),
-        grid=grid,
-        in_specs=[full, tile4, tile4, full, full2d, full2d,
+        grid=grid_kv,
+        in_specs=[full, tile4_kv, tile4_kv, full, full2d, full2d,
                   pl.BlockSpec((1, 1, qr, w, nk2),
                                lambda i, j, l: (j, l, 0, 0, 0))],
-        out_specs=[tile4, tile4],
+        out_specs=[tile4_kv, tile4_kv],
         out_shape=[jax.ShapeDtypeStruct(k.shape, k.dtype),
                    jax.ShapeDtypeStruct(v.shape, v.dtype)],
     )(q, k, v, dout, lse_map, delta_map, dkv_masks)
@@ -421,23 +457,23 @@ def _na_packed_fwd(q, k, v, kernel_size, scale, tile, n_heads):
     b, h, w, c = q.shape
     tq = tile
     nrb, ncb = h // tq, w // tq
-    grid = (b, nrb, ncb)
+    grid = (nrb, ncb, b)
     masks = jnp.asarray(_fwd_masks(h, w, kernel_size, tq))
     nq, nk = masks.shape[2], masks.shape[3]
     k_halo = _extract_halos(k, kernel_size, tq)
     v_halo = _extract_halos(v, kernel_size, tq)
-    halo_spec = pl.BlockSpec((1, 1, 1, nk, c), lambda i, j, l: (i, j, l, 0, 0))
+    halo_spec = pl.BlockSpec((1, 1, 1, nk, c), lambda j, l, i: (i, j, l, 0, 0))
     return pl.pallas_call(
         functools.partial(_na_packed_fwd_kernel, kernel_size=kernel_size,
                           tq=tq, h=h, w=w, scale=scale, n_heads=n_heads),
         grid=grid,
         in_specs=[
-            pl.BlockSpec((1, tq, tq, c), lambda i, j, l: (i, j, l, 0)),
+            pl.BlockSpec((1, tq, tq, c), lambda j, l, i: (i, j, l, 0)),
             halo_spec,
             halo_spec,
-            pl.BlockSpec((1, 1, nq, nk), lambda i, j, l: (j, l, 0, 0)),
+            pl.BlockSpec((1, 1, nq, nk), lambda j, l, i: (j, l, 0, 0)),
         ],
-        out_specs=pl.BlockSpec((1, tq, tq, c), lambda i, j, l: (i, j, l, 0)),
+        out_specs=pl.BlockSpec((1, tq, tq, c), lambda j, l, i: (i, j, l, 0)),
         out_shape=jax.ShapeDtypeStruct(q.shape, q.dtype),
     )(q, k_halo, v_halo, masks)
 
@@ -531,13 +567,13 @@ def _na_packed_proj_fwd(q, k, v, skip, w_out, kernel_size, scale, tile,
                         n_heads):
     b, h, w, c = q.shape
     tq = tile
-    grid = (b, h // tq, w // tq)
+    grid = (h // tq, w // tq, b)
     masks = jnp.asarray(_fwd_masks(h, w, kernel_size, tq))
     nq, nk = masks.shape[2], masks.shape[3]
     k_halo = _extract_halos(k, kernel_size, tq)
     v_halo = _extract_halos(v, kernel_size, tq)
-    halo_spec = pl.BlockSpec((1, 1, 1, nk, c), lambda i, j, l: (i, j, l, 0, 0))
-    tile_spec = pl.BlockSpec((1, tq, tq, c), lambda i, j, l: (i, j, l, 0))
+    halo_spec = pl.BlockSpec((1, 1, 1, nk, c), lambda j, l, i: (i, j, l, 0, 0))
+    tile_spec = pl.BlockSpec((1, tq, tq, c), lambda j, l, i: (i, j, l, 0))
     return pl.pallas_call(
         functools.partial(_na_packed_proj_kernel, kernel_size=kernel_size,
                           tq=tq, h=h, w=w, scale=scale, n_heads=n_heads),
@@ -547,8 +583,8 @@ def _na_packed_proj_fwd(q, k, v, skip, w_out, kernel_size, scale, tile,
             halo_spec,
             halo_spec,
             tile_spec,
-            pl.BlockSpec((c, c), lambda i, j, l: (0, 0)),
-            pl.BlockSpec((1, 1, nq, nk), lambda i, j, l: (j, l, 0, 0)),
+            pl.BlockSpec((c, c), lambda j, l, i: (0, 0)),
+            pl.BlockSpec((1, 1, nq, nk), lambda j, l, i: (j, l, 0, 0)),
         ],
         out_specs=tile_spec,
         out_shape=jax.ShapeDtypeStruct(q.shape, q.dtype),

@@ -1,0 +1,173 @@
+"""Train-step time breakdown on the flagship HDiT (TPU).
+
+Times, each as a lax.scan over INNER iterations with a host-readback fence
+(per-dispatch RPC through the tunnel is ~25 ms; see PERFORMANCE.md):
+  - forward loss only
+  - forward + backward (grads)
+  - optimizer + EMA only (fixed grads)
+  - full train step (fwd+bwd+clip+opt+EMA)
+
+Usage: python scripts/bench_train.py [--batch 32] [--remat] [--fused]
+"""
+
+import argparse
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+import optax
+
+os.makedirs("/root/.cache/jax_comp_cache", exist_ok=True)
+jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_comp_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
+
+INNER = 8
+
+
+def fence(x):
+    return float(jnp.sum(jax.tree_util.tree_leaves(x)[0]))
+
+
+def timeit(run, label, reps=3):
+    run()  # compile
+    run()  # warmup
+    ts = []
+    for _ in range(reps):
+        t0 = time.time()
+        run()
+        ts.append(time.time() - t0)
+    dt = sorted(ts)[reps // 2] / INNER
+    print(f"{label:32s} {dt * 1e3:8.2f} ms/iter")
+    return dt
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--batch", type=int, default=32)
+    ap.add_argument("--remat", action="store_true")
+    ap.add_argument("--remat-policy", type=str, default=None)
+    ap.add_argument("--only", type=str, default=None,
+                    help="comma-separated subset: fwd,grad,opt,full")
+    args = ap.parse_args()
+
+    import __graft_entry__
+    from k_diffusion_tpu import config as config_mod, training
+    from k_diffusion_tpu.models import image_transformer_v2 as itv2
+
+    config = config_mod.load_config(__graft_entry__._flagship_config())
+    model = config_mod.make_model(config, dtype=jnp.bfloat16,
+                                  checkpointing=args.remat,
+                                  remat_policy=args.remat_policy)
+    den_factory = config_mod.make_denoiser_wrapper(config)
+    sample_density = config_mod.make_sample_density(config["model"])
+
+    key = jax.random.PRNGKey(0)
+    b = args.batch
+    reals = jax.random.normal(key, (b, 256, 256, 3))
+    sigma1 = jnp.ones([1])
+    variables = jax.jit(model.init)(key, reals[:1], sigma1)
+    params = variables["params"]
+    n_params = sum(x.size for x in jax.tree_util.tree_leaves(params))
+    print(f"params: {n_params/1e6:.1f}M, batch {b}, remat={args.remat}")
+
+    labels = itv2.param_group_labels(params)
+    opt = training.make_optimizer(config, labels)
+    opt_state = opt.init(params)
+
+    def loss_fn(params, key):
+        k_sig, k_noise, k_drop = jax.random.split(key, 3)
+        sigma = sample_density(k_sig, (b,))
+        def inner(x, sig, **kw):
+            return model.apply({"params": params}, x, sig, train=True,
+                               rngs={"dropout": k_drop}, **kw)
+        den = den_factory(inner)
+        noise = jax.random.normal(k_noise, reals.shape, reals.dtype)
+        return jnp.mean(den.loss(reals, noise, sigma))
+
+    only = set(args.only.split(",")) if args.only else None
+
+    # 1. forward only
+    if only is None or "fwd" in only:
+        @jax.jit
+        def scan_fwd(params, key):
+            def body(acc, i):
+                return acc + loss_fn(params, jax.random.fold_in(key, i)), None
+            acc, _ = jax.lax.scan(body, jnp.float32(0), jnp.arange(INNER))
+            return acc
+        t_fwd = timeit(lambda: fence(scan_fwd(params, key)), "forward loss")
+    else:
+        t_fwd = 0.0
+
+    # 2. forward + backward
+    if only is None or "grad" in only:
+        @jax.jit
+        def scan_grad(params, key):
+            def body(acc, i):
+                loss, grads = jax.value_and_grad(loss_fn)(
+                    params, jax.random.fold_in(key, i))
+                sq = sum(jnp.sum(jnp.square(g))
+                         for g in jax.tree_util.tree_leaves(grads))
+                return acc + loss + sq * 1e-20, None
+            acc, _ = jax.lax.scan(body, jnp.float32(0), jnp.arange(INNER))
+            return acc
+        t_grad = timeit(lambda: fence(scan_grad(params, key)), "forward+backward")
+    else:
+        t_grad = 0.0
+
+    # 3. optimizer + EMA only (fixed grads)
+    if only is None or "opt" in only:
+        grads = jax.tree_util.tree_map(lambda p: jnp.ones_like(p) * 1e-6, params)
+
+        @jax.jit
+        def scan_opt(params, opt_state, grads):
+            from k_diffusion_tpu.utils import ema_update
+            ema = params
+            def body(carry, _):
+                params, opt_state, ema = carry
+                updates, opt_state = opt.update(grads, opt_state, params)
+                params = optax.apply_updates(params, updates)
+                ema = ema_update(params, ema, 0.99)
+                return (params, opt_state, ema), None
+            carry, _ = jax.lax.scan(body, (params, opt_state, ema),
+                                    None, length=INNER)
+            return carry[0]
+        t_opt = timeit(lambda: fence(scan_opt(params, opt_state, grads)),
+                       "clip+optimizer+EMA")
+    else:
+        t_opt = 0.0
+
+    # 4. full step
+    if only is None or "full" in only:
+        @jax.jit
+        def scan_full(params, opt_state, key):
+            from k_diffusion_tpu.utils import ema_update
+            ema = params
+            def body(carry, i):
+                params, opt_state, ema = carry
+                loss, grads = jax.value_and_grad(loss_fn)(
+                    params, jax.random.fold_in(key, i))
+                updates, opt_state = opt.update(grads, opt_state, params)
+                params = optax.apply_updates(params, updates)
+                ema = ema_update(params, ema, 0.99)
+                return (params, opt_state, ema), loss
+            carry, losses = jax.lax.scan(body, (params, opt_state, ema),
+                                         jnp.arange(INNER))
+            return carry[0], losses
+        def run_full():
+            p, losses = scan_full(params, opt_state, key)
+            return fence(p) + float(losses.sum())
+        t_full = timeit(run_full, "full train step")
+        print(f"\nimgs/sec/chip (full step): {b / t_full:.1f}")
+
+    if (only is None) and t_grad and t_fwd:
+        print(f"backward-only: {(t_grad - t_fwd) * 1e3:.2f} ms")
+        print(f"residual (full - grad - opt): "
+              f"{(t_full - t_grad - t_opt) * 1e3:.2f} ms")
+
+
+if __name__ == "__main__":
+    main()

@@ -145,6 +145,64 @@ def test_fused_qkv_prologue_grad_runs():
 
 
 @requires_tpu
+def test_fused_qkv_prologue_grads_match_reference():
+    """The residual-saving backward (raw qkv saved by the forward kernel)
+    must produce the same gradients as differentiating the XLA chain."""
+    fq = importlib.import_module("k_diffusion_tpu.ops.pallas.fused_qkv")
+    rp = importlib.import_module("k_diffusion_tpu.ops.rope")
+    keys = jax.random.split(jax.random.PRNGKey(7), 4)
+    d, heads, hw = 128, 2, 16
+    x = jax.random.normal(keys[0], (2, hw, hw, d), jnp.float32)
+    norm_scale = 1 + 0.1 * jax.random.normal(keys[1], (2, d), jnp.float32)
+    w_qkv = jax.random.normal(keys[2], (d, 3 * d), jnp.float32) * d ** -0.5
+    attn_scale = jnp.full((heads,), 10.0)
+    pos = rp.make_axial_pos(hw, hw)
+
+    def loss(fn, x, ns, w, asc):
+        q, k, v = fn(x, pos, ns, w, asc, heads)
+        t = jnp.sin(q.astype(jnp.float32)) + (k * v).astype(jnp.float32)
+        return jnp.sum(t ** 2)
+
+    gp = jax.grad(lambda *a: loss(fq.fused_qkv_prologue, *a), argnums=(0, 1, 2, 3))(
+        x, norm_scale, w_qkv, attn_scale)
+    gx = jax.grad(lambda *a: loss(
+        lambda x_, p_, ns_, w_, as_, h_: fq._reference(x_, p_, ns_, w_, as_, h_, 1e-6, 1e-6),
+        *a), argnums=(0, 1, 2, 3))(x, norm_scale, w_qkv, attn_scale)
+    for p, r in zip(gp, gx):
+        p, r = np.asarray(p), np.asarray(r)
+        # tolerance relative to the gradient's scale: the kernel's saved
+        # residual has slightly different rounding than the XLA chain's
+        np.testing.assert_allclose(p, r, rtol=5e-2,
+                                   atol=5e-3 * np.abs(r).max())
+
+
+@requires_tpu
+def test_fused_ffn_grads_match_reference():
+    """The residual-saving backward (up projection saved by the forward
+    kernel) must produce the same gradients as the XLA chain's VJP."""
+    ff = importlib.import_module("k_diffusion_tpu.ops.pallas.fused_ffn")
+    keys = jax.random.split(jax.random.PRNGKey(8), 4)
+    b, t, d, d_ff = 2, 256, 128, 256
+    x = jax.random.normal(keys[0], (b, t, d), jnp.float32)
+    scale = 1 + 0.1 * jax.random.normal(keys[1], (b, d), jnp.float32)
+    w_up = jax.random.normal(keys[2], (d, 2 * d_ff), jnp.float32) * d ** -0.5
+    w_down = jax.random.normal(keys[3], (d_ff, d), jnp.float32) * d_ff ** -0.5
+
+    def loss(fn, x, s, wu, wd):
+        return jnp.sum(jnp.sin(fn(x, s, wu, wd).astype(jnp.float32)))
+
+    gp = jax.grad(lambda *a: loss(
+        lambda *b_: ff.fused_geglu_ffn(*b_, block=256), *a),
+        argnums=(0, 1, 2, 3))(x, scale, w_up, w_down)
+    gx = jax.grad(lambda *a: loss(
+        lambda *b_: ff._ffn_reference(*b_, 1e-6), *a),
+        argnums=(0, 1, 2, 3))(x, scale, w_up, w_down)
+    for p, r in zip(gp, gx):
+        np.testing.assert_allclose(np.asarray(p), np.asarray(r),
+                                   rtol=2e-2, atol=2e-2)
+
+
+@requires_tpu
 def test_log_likelihood_runs_on_hdit():
     """Regression: ode.log_likelihood must run on the HDiT on TPU. jax.jvp
     cannot differentiate the custom_vjp Pallas kernels, so log_likelihood
