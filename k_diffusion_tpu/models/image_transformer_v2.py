@@ -193,24 +193,21 @@ class SelfAttentionBlock(nn.Module):
                 out = ops.neighborhood_attention(
                     q, k, v, self.attn_spec.kernel_size, scale=1.0)
                 x = out.reshape(b, h, w, c)
-            elif deterministic:
-                # inference: channel-packed kernel — heads stay in the
-                # channel dim, so no (b,h,w,heads,e)->(b*heads,h,w,e)
-                # transposes are paid (+17% sampling throughput). NOTE: the
-                # fused-epilogue variant (na2d_packed_proj) measured ~2-3%
-                # SLOWER end-to-end — XLA already fuses out_proj with the
-                # residual and adjacent elementwise work — so it is not used.
+            elif q is None:
+                # channel-packed kernel — heads stay in the channel dim, so
+                # no (b,h,w,heads,e)->(b*heads,h,w,e) transposes are paid
+                # (+17% sampling throughput); in training its backward runs
+                # the channel-packed dq/dkv kernels from the saved per-head
+                # logsumexp. NOTE: the fused-epilogue variant
+                # (na2d_packed_proj) measured ~2-3% SLOWER end-to-end — XLA
+                # already fuses out_proj with the residual and adjacent
+                # elementwise work — so it is not used.
                 from ..ops.pallas.na2d import na2d_packed
                 x = na2d_packed(qp, kp, vp, n_heads,
                                 self.attn_spec.kernel_size, scale=1.0)
             else:
-                # training: per-head kernel (hand-written dq/dkv backward;
-                # the head split from the packed maps is a free reshape)
+                # unfused prologue (KDT_TRAIN_FUSION=0): per-head kernel
                 from ..ops.pallas import na2d
-                if q is None:
-                    q = qp.reshape(b, h, w, n_heads, self.d_head)
-                    k = kp.reshape(b, h, w, n_heads, self.d_head)
-                    v = vp.reshape(b, h, w, n_heads, self.d_head)
                 out = na2d(q, k, v, self.attn_spec.kernel_size, scale=1.0)
                 x = out.reshape(b, h, w, c)
         elif isinstance(self.attn_spec, ShiftedWindowAttentionSpec):

@@ -32,6 +32,7 @@ import functools
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
 
 from ..attention import neighborhood_attention as _xla_na
 
@@ -424,7 +425,7 @@ def na2d(q, k, v, kernel_size, scale=1.0, tile=DEFAULT_TILE):
 # transposes at the head counts diffusion models use (2-8).
 
 
-def _na_packed_fwd_kernel(q_ref, k_ref, v_ref, mask_ref, o_ref, *,
+def _na_packed_fwd_kernel(q_ref, k_ref, v_ref, mask_ref, o_ref, *res_refs,
                           kernel_size, tq, h, w, scale, n_heads):
     c = q_ref.shape[-1]
     e = c // n_heads
@@ -438,6 +439,7 @@ def _na_packed_fwd_kernel(q_ref, k_ref, v_ref, mask_ref, o_ref, *,
     lane = jax.lax.broadcasted_iota(jnp.int32, (nq, c), 1)
     lane_k = jax.lax.broadcasted_iota(jnp.int32, (nk, c), 1)
     out = jnp.zeros((nq, c), jnp.float32)
+    lses = []
     for head in range(n_heads):
         q_h = jnp.where((lane // e) == head, q, 0).astype(q.dtype)
         s = jax.lax.dot_general(
@@ -445,15 +447,20 @@ def _na_packed_fwd_kernel(q_ref, k_ref, v_ref, mask_ref, o_ref, *,
             preferred_element_type=jnp.float32) * scale
         p = jnp.exp(s) * mask
         l = jnp.sum(p, axis=1, keepdims=True)
+        if res_refs:
+            lses.append(jnp.log(l))
         v_h = jnp.where((lane_k // e) == head, vs, 0).astype(vs.dtype)
         out = out + jax.lax.dot_general(
             (p / l).astype(q.dtype), v_h,
             dimension_numbers=(((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)
     o_ref[0] = out.reshape(tq, tq, c).astype(o_ref.dtype)
+    if res_refs:  # training: per-head logsumexp map for the backward
+        res_refs[0][0] = jnp.concatenate(lses, axis=1).reshape(tq, tq, n_heads)
 
 
-def _na_packed_fwd(q, k, v, kernel_size, scale, tile, n_heads):
+def _na_packed_fwd(q, k, v, kernel_size, scale, tile, n_heads,
+                   save_lse=False):
     b, h, w, c = q.shape
     tq = tile
     nrb, ncb = h // tq, w // tq
@@ -463,7 +470,13 @@ def _na_packed_fwd(q, k, v, kernel_size, scale, tile, n_heads):
     k_halo = _extract_halos(k, kernel_size, tq)
     v_halo = _extract_halos(v, kernel_size, tq)
     halo_spec = pl.BlockSpec((1, 1, 1, nk, c), lambda j, l, i: (i, j, l, 0, 0))
-    return pl.pallas_call(
+    out_specs = [pl.BlockSpec((1, tq, tq, c), lambda j, l, i: (i, j, l, 0))]
+    out_shape = [jax.ShapeDtypeStruct(q.shape, q.dtype)]
+    if save_lse:
+        out_specs.append(pl.BlockSpec((1, tq, tq, n_heads),
+                                      lambda j, l, i: (i, j, l, 0)))
+        out_shape.append(jax.ShapeDtypeStruct((b, h, w, n_heads), jnp.float32))
+    res = pl.pallas_call(
         functools.partial(_na_packed_fwd_kernel, kernel_size=kernel_size,
                           tq=tq, h=h, w=w, scale=scale, n_heads=n_heads),
         grid=grid,
@@ -473,52 +486,200 @@ def _na_packed_fwd(q, k, v, kernel_size, scale, tile, n_heads):
             halo_spec,
             pl.BlockSpec((1, 1, nq, nk), lambda j, l, i: (j, l, 0, 0)),
         ],
-        out_specs=pl.BlockSpec((1, tq, tq, c), lambda j, l, i: (i, j, l, 0)),
-        out_shape=jax.ShapeDtypeStruct(q.shape, q.dtype),
+        out_specs=out_specs if save_lse else out_specs[0],
+        out_shape=out_shape if save_lse else out_shape[0],
     )(q, k_halo, v_halo, masks)
+    return res if save_lse else (res, None)
+
+
+def _na_packed_dq_kernel(q_ref, k_ref, v_ref, do_ref, o_ref, lse_ref,
+                         mask_ref, dq_ref, *, tq, scale, n_heads):
+    """Channel-packed dq over query tiles: per-head attention via
+    head-masked matmuls (no (b,h,w,heads,e) -> (b*heads,...) transposes)."""
+    c = q_ref.shape[-1]
+    e = c // n_heads
+    nq = tq * tq
+    ks = k_ref[0, 0, 0]  # (nk, c)
+    vs = v_ref[0, 0, 0]
+    q = q_ref[0].reshape(nq, c)
+    do = do_ref[0].reshape(nq, c)
+    o = o_ref[0].reshape(nq, c)
+    lse = lse_ref[0].reshape(nq, n_heads)
+    mask = mask_ref[0, 0]
+    nk = ks.shape[0]
+
+    lane = jax.lax.broadcasted_iota(jnp.int32, (nq, c), 1)
+    lane_k = jax.lax.broadcasted_iota(jnp.int32, (nk, c), 1)
+    # per-head delta = rowsum over the head's lanes of do*o, via one matmul
+    # with the (c, heads) head-indicator matrix
+    hrow = jax.lax.broadcasted_iota(jnp.int32, (c, n_heads), 0) // e
+    hcol = jax.lax.broadcasted_iota(jnp.int32, (c, n_heads), 1)
+    bdh = (hrow == hcol).astype(jnp.float32)
+    delta = jax.lax.dot_general(
+        do.astype(jnp.float32) * o.astype(jnp.float32), bdh,
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)  # (nq, heads)
+
+    dq = jnp.zeros((nq, c), jnp.float32)
+    for head in range(n_heads):
+        q_h = jnp.where((lane // e) == head, q, 0).astype(q.dtype)
+        do_h = jnp.where((lane // e) == head, do, 0).astype(do.dtype)
+        s = jax.lax.dot_general(
+            q_h, ks, dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32) * scale
+        p = jnp.exp(s - lse[:, head:head + 1]) * mask
+        dp = jax.lax.dot_general(
+            do_h, vs, dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        ds = (p * (dp - delta[:, head:head + 1])).astype(q.dtype)
+        k_h = jnp.where((lane_k // e) == head, ks, 0).astype(ks.dtype)
+        dq = dq + jax.lax.dot_general(
+            ds, k_h, dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32) * scale
+    dq_ref[0] = dq.reshape(tq, tq, c).astype(dq_ref.dtype)
+
+
+def _na_packed_dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
+                          mask_ref, dk_ref, dv_ref, *, kernel_size, tk, h, w,
+                          scale, n_heads):
+    """Channel-packed dk/dv over key tiles (row-slab queries, like the
+    per-head dkv kernel; q/do maps stay VMEM-resident per batch image)."""
+    kk = kernel_size
+    halo = kk - 1
+    qr = min(_round_up(tk + 2 * halo, 8), h)
+    c = q_ref.shape[-1]
+    e = c // n_heads
+    nq, nk = qr * w, tk * tk
+
+    krow0 = pl.program_id(1) * tk
+    rs = jnp.clip(krow0 - halo, 0, h - qr)
+
+    q2 = q_ref[0, pl.ds(rs, qr), :, :].reshape(nq, c)
+    do2 = do_ref[0, pl.ds(rs, qr), :, :].reshape(nq, c)
+    lse2 = lse_ref[0, pl.ds(rs, qr), :, :].reshape(nq, n_heads)
+    delta2 = delta_ref[0, pl.ds(rs, qr), :, :].reshape(nq, n_heads)
+    kt = k_ref[0].reshape(nk, c)
+    vt = v_ref[0].reshape(nk, c)
+    mask2 = mask_ref[0, 0].reshape(nq, nk)
+
+    lane = jax.lax.broadcasted_iota(jnp.int32, (nq, c), 1)
+    dk = jnp.zeros((nk, c), jnp.float32)
+    dv = jnp.zeros((nk, c), jnp.float32)
+    for head in range(n_heads):
+        q_h = jnp.where((lane // e) == head, q2, 0).astype(q2.dtype)
+        do_h = jnp.where((lane // e) == head, do2, 0).astype(do2.dtype)
+        s = jax.lax.dot_general(
+            q_h, kt, dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32) * scale  # (nq, nk)
+        p = jnp.where(mask2 != 0,
+                      jnp.exp(s - lse2[:, head:head + 1]), 0.0)
+        p_lp = p.astype(q2.dtype)
+        dv = dv + jax.lax.dot_general(
+            p_lp, do_h, dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)  # (nk, c)
+        dp = jax.lax.dot_general(
+            do_h, vt, dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)  # (nq, nk)
+        ds = (p * (dp - delta2[:, head:head + 1])).astype(q2.dtype)
+        dk = dk + jax.lax.dot_general(
+            ds, q_h, dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32) * scale  # (nk, c)
+    dk_ref[0] = dk.reshape(tk, tk, c).astype(dk_ref.dtype)
+    dv_ref[0] = dv.reshape(tk, tk, c).astype(dv_ref.dtype)
+
+
+def _na_packed_bwd(kernel_size, scale, tile, n_heads, res, dout):
+    q, k, v, out, lse = res
+    b, h, w, c = q.shape
+    e = c // n_heads
+    tq = tile
+    nrb, ncb = h // tq, w // tq
+
+    # per-head delta map for dkv, via the (c, heads) head-indicator matmul
+    # (stays in the packed layout; no (heads, e) split)
+    import numpy as np
+    bdh = jnp.asarray(
+        (np.arange(c)[:, None] // e == np.arange(n_heads)[None, :])
+        .astype(np.float32))
+    delta_map = jnp.einsum(
+        "bhwc,cn->bhwn", dout.astype(jnp.float32) * out.astype(jnp.float32),
+        bdh)  # (b, h, w, heads)
+
+    fwd_masks = jnp.asarray(_fwd_masks(h, w, kernel_size, tq))
+    nq, nk = fwd_masks.shape[2], fwd_masks.shape[3]
+    k_halo = _extract_halos(k, kernel_size, tq)
+    v_halo = _extract_halos(v, kernel_size, tq)
+    halo_spec = pl.BlockSpec((1, 1, 1, nk, c), lambda j, l, i: (i, j, l, 0, 0))
+    tile_c = pl.BlockSpec((1, tq, tq, c), lambda j, l, i: (i, j, l, 0))
+    tile_h = pl.BlockSpec((1, tq, tq, n_heads), lambda j, l, i: (i, j, l, 0))
+    dq = pl.pallas_call(
+        functools.partial(_na_packed_dq_kernel, tq=tq, scale=scale,
+                          n_heads=n_heads),
+        grid=(nrb, ncb, b),
+        in_specs=[tile_c, halo_spec, halo_spec, tile_c, tile_c, tile_h,
+                  pl.BlockSpec((1, 1, nq, nk), lambda j, l, i: (j, l, 0, 0))],
+        out_specs=tile_c,
+        out_shape=jax.ShapeDtypeStruct(q.shape, q.dtype),
+    )(q, k_halo, v_halo, dout, out, lse, fwd_masks)
+
+    dkv_masks = jnp.asarray(_dkv_masks(h, w, kernel_size, tq))
+    qr, nk2 = dkv_masks.shape[2], dkv_masks.shape[4]
+    full_c = pl.BlockSpec((1, h, w, c), lambda i, j, l: (i, 0, 0, 0))
+    full_h = pl.BlockSpec((1, h, w, n_heads), lambda i, j, l: (i, 0, 0, 0))
+    tile_kv = pl.BlockSpec((1, tq, tq, c), lambda i, j, l: (i, j, l, 0))
+    dk, dv = pl.pallas_call(
+        functools.partial(_na_packed_dkv_kernel, kernel_size=kernel_size,
+                          tk=tq, h=h, w=w, scale=scale, n_heads=n_heads),
+        grid=(b, nrb, ncb),
+        in_specs=[full_c, tile_kv, tile_kv, full_c, full_h, full_h,
+                  pl.BlockSpec((1, 1, qr, w, nk2),
+                               lambda i, j, l: (j, l, 0, 0, 0))],
+        out_specs=[tile_kv, tile_kv],
+        out_shape=[jax.ShapeDtypeStruct(k.shape, k.dtype),
+                   jax.ShapeDtypeStruct(v.shape, v.dtype)],
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=64 * 2**20),
+    )(q, k, v, dout, lse, delta_map, dkv_masks)
+    return dq, dk, dv
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6))
 def _na2d_packed_inner(q, k, v, kernel_size, scale, tile, n_heads):
-    return _na_packed_fwd(q, k, v, kernel_size, scale, tile, n_heads)
+    out, _ = _na_packed_fwd(q, k, v, kernel_size, scale, tile, n_heads)
+    return out
 
 def _na2d_packed_fwd_rule(q, k, v, kernel_size, scale, tile, n_heads):
-    out = _na_packed_fwd(q, k, v, kernel_size, scale, tile, n_heads)
-    return out, (q, k, v)
+    # under differentiation: also save the per-head logsumexp map, so the
+    # backward runs the packed dq/dkv kernels directly (no unpack transposes
+    # and no forward recompute)
+    out, lse = _na_packed_fwd(q, k, v, kernel_size, scale, tile, n_heads,
+                              save_lse=True)
+    return out, (q, k, v, out, lse)
 
 def _na2d_packed_bwd_rule(kernel_size, scale, tile, n_heads, res, dout):
-    # backward via the per-head kernels: unpack to (b*heads, h, w, e),
-    # recompute the forward (for out/lse residuals), run the dq/dkv kernels,
-    # repack. The transposes this reintroduces only affect training.
-    q, k, v = res
-    b, h, w, c = q.shape
-    e = c // n_heads
-
-    def pack(t):
-        return jnp.moveaxis(t.reshape(b, h, w, n_heads, e), 3, 1) \
-            .reshape(b * n_heads, h, w, e)
-
-    def unpack(t):
-        return jnp.moveaxis(t.reshape(b, n_heads, h, w, e), 1, 3) \
-            .reshape(b, h, w, c)
-
-    qp, kp, vp, doutp = pack(q), pack(k), pack(v), pack(dout)
-    out, lse = _na_fwd(qp, kp, vp, kernel_size, scale, tile)
-    dq, dk, dv = _na_bwd(kernel_size, scale, tile, (qp, kp, vp, out, lse), doutp)
-    return unpack(dq), unpack(dk), unpack(dv)
+    return _na_packed_bwd(kernel_size, scale, tile, n_heads, res, dout)
 
 _na2d_packed_inner.defvjp(_na2d_packed_fwd_rule, _na2d_packed_bwd_rule)
 
 
 def na2d_packed(q, k, v, n_heads, kernel_size, scale=1.0, tile=DEFAULT_TILE):
     """Channel-packed 2-D neighborhood attention: q,k,v (b, h, w, heads*e),
-    per-head attention without unpacking heads from the channel dim."""
+    per-head attention without unpacking heads from the channel dim.
+    Differentiable: the backward runs channel-packed dq/dkv kernels from the
+    saved per-head logsumexp (no transposes, no forward recompute). Falls
+    back to the per-head Pallas kernel when the channel dim is too wide for
+    the masked-matmul formulation, and to masked SDPA off-TPU."""
     b, h, w, c = q.shape
-    if not _use_pallas(h, w, kernel_size, tile) or c > 512 or c % 128 != 0:
-        e = c // n_heads
+    e = c // n_heads
+    if not _use_pallas(h, w, kernel_size, tile):
         out = _xla_na(q.reshape(b, h, w, n_heads, e),
                       k.reshape(b, h, w, n_heads, e),
                       v.reshape(b, h, w, n_heads, e), kernel_size, scale=scale)
+        return out.reshape(b, h, w, c)
+    if c > 512 or c % 128 != 0:
+        out = na2d(q.reshape(b, h, w, n_heads, e),
+                   k.reshape(b, h, w, n_heads, e),
+                   v.reshape(b, h, w, n_heads, e), kernel_size, scale=scale,
+                   tile=tile)
         return out.reshape(b, h, w, c)
     return _na2d_packed_inner(q, k, v, kernel_size, scale, tile, n_heads)
 

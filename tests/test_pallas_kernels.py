@@ -177,6 +177,36 @@ def test_fused_qkv_prologue_grads_match_reference():
 
 
 @requires_tpu
+@pytest.mark.parametrize("c,heads", [(128, 2), (256, 4)])
+def test_na2d_packed_grads_match_reference(c, heads):
+    """The channel-packed dq/dkv backward kernels must match the masked-SDPA
+    reference gradients."""
+    hw, kk = 32, 7
+    e = c // heads
+    q, k, v = _qkv(jax.random.PRNGKey(11), (2, hw, hw, c))
+
+    def loss_packed(q, k, v):
+        out = na_mod.na2d_packed(q, k, v, heads, kk, scale=0.7)
+        return jnp.sum(jnp.sin(out))
+
+    def loss_ref(q, k, v):
+        out = na_mod.na2d_reference(
+            q.reshape(2, hw, hw, heads, e), k.reshape(2, hw, hw, heads, e),
+            v.reshape(2, hw, hw, heads, e), kk, scale=0.7)
+        return jnp.sum(jnp.sin(out.reshape(2, hw, hw, c)))
+
+    gp = jax.grad(loss_packed, argnums=(0, 1, 2))(q, k, v)
+    gx = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    # atol floor: the XLA reference's own gradient moves by 1.8e-2*max|g|
+    # between default and f32 matmul precision on this problem (bf16 MXU
+    # passes), so 2e-2*max is the tightest same-noise-floor bound.
+    for p, r in zip(gp, gx):
+        p, r = np.asarray(p), np.asarray(r)
+        np.testing.assert_allclose(p, r, rtol=5e-2,
+                                   atol=2e-2 * np.abs(r).max())
+
+
+@requires_tpu
 def test_fused_ffn_grads_match_reference():
     """The residual-saving backward (up projection saved by the forward
     kernel) must produce the same gradients as the XLA chain's VJP."""
