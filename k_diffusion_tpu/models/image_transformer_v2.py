@@ -540,8 +540,26 @@ class ImageTransformerDenoiserModelV2(nn.Module):
 
         layer_cls = TransformerLayer
         if self.checkpointing:
-            policy = (getattr(jax.checkpoint_policies, self.remat_policy)
-                      if self.remat_policy else None)
+            if self.remat_policy and self.remat_policy.startswith("save_"):
+                # named-residual policies over the attention kernels'
+                # custom_vjp residuals (tagged in ops/pallas/remat_names.py):
+                # 'save_attn_out' keeps the kernel output + per-head
+                # logsumexp (elides the attention-forward re-run in the
+                # backward), 'save_attn' additionally keeps the q/k/v maps,
+                # 'save_attn_qkv_raw' keeps output/lse + the prologue's raw
+                # qkv projection. The wide GEGLU hidden activations are
+                # rematerialized under all of them.
+                from ..ops.pallas import remat_names as rn
+                names = {
+                    "save_attn_out": (rn.ATTN_OUT,),
+                    "save_attn": (rn.ATTN_OUT, rn.ATTN_QKV),
+                    "save_attn_qkv_raw": (rn.ATTN_OUT, rn.QKV_RAW),
+                }[self.remat_policy]
+                policy = jax.checkpoint_policies.save_only_these_names(*names)
+            elif self.remat_policy:
+                policy = getattr(jax.checkpoint_policies, self.remat_policy)
+            else:
+                policy = None
             layer_cls = nn.remat(TransformerLayer, static_argnums=(4,),
                                  policy=policy)
 

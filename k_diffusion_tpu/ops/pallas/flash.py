@@ -161,8 +161,10 @@ def _flash_inner(q, k, v, scale, tq):
     return out
 
 def _flash_inner_fwd(q, k, v, scale, tq):
+    from .remat_names import name_tree, ATTN_OUT, ATTN_QKV
     out, lse = _flash_fwd(q, k, v, scale, tq)
-    return out, (q, k, v, out, lse)
+    return out, (*name_tree((q, k, v), ATTN_QKV),
+                 *name_tree((out, lse), ATTN_OUT))
 
 def _flash_inner_bwd(scale, tq, res, dout):
     return _flash_bwd(scale, tq, res, dout)

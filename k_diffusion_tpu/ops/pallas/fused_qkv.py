@@ -240,9 +240,11 @@ def _fused_qkv_fwd_rule(x, pos, norm_scale, w_qkv, attn_scale, n_heads, eps,
     # under differentiation: also save the raw qkv projection, so the
     # backward runs the standard residual VJP instead of recomputing the
     # whole prologue (only the cheap RMS norm is recomputed)
+    from .remat_names import name_tree, QKV_RAW
     q, k, v, qkv_raw = _fused_fwd(x, norm_scale, w_qkv, attn_scale, n_heads,
                                   eps, cos_eps, tile, save_raw=True)
-    return (q, k, v), (x, pos, norm_scale, w_qkv, attn_scale, qkv_raw)
+    return (q, k, v), (x, pos, norm_scale, w_qkv, attn_scale,
+                       name_tree(qkv_raw, QKV_RAW))
 
 
 def _fused_qkv_bwd_rule(n_heads, eps, cos_eps, tile, res, g):

@@ -378,8 +378,10 @@ def _na2d_inner(q, k, v, kernel_size, scale, tile):
     return out
 
 def _na2d_inner_fwd(q, k, v, kernel_size, scale, tile):
+    from .remat_names import name_tree, ATTN_OUT, ATTN_QKV
     out, lse = _na_fwd(q, k, v, kernel_size, scale, tile)
-    return out, (q, k, v, out, lse)
+    return out, (*name_tree((q, k, v), ATTN_QKV),
+                 *name_tree((out, lse), ATTN_OUT))
 
 def _na2d_inner_bwd(kernel_size, scale, tile, res, dout):
     return _na_bwd(kernel_size, scale, tile, res, dout)
@@ -651,9 +653,11 @@ def _na2d_packed_fwd_rule(q, k, v, kernel_size, scale, tile, n_heads):
     # under differentiation: also save the per-head logsumexp map, so the
     # backward runs the packed dq/dkv kernels directly (no unpack transposes
     # and no forward recompute)
+    from .remat_names import name_tree, ATTN_OUT, ATTN_QKV
     out, lse = _na_packed_fwd(q, k, v, kernel_size, scale, tile, n_heads,
                               save_lse=True)
-    return out, (q, k, v, out, lse)
+    return out, (*name_tree((q, k, v), ATTN_QKV),
+                 *name_tree((out, lse), ATTN_OUT))
 
 def _na2d_packed_bwd_rule(kernel_size, scale, tile, n_heads, res, dout):
     return _na_packed_bwd(kernel_size, scale, tile, n_heads, res, dout)

@@ -90,6 +90,32 @@ def test_checkpointing_equivalence():
         g1, g2)
 
 
+@pytest.mark.parametrize("policy", ["save_attn_out", "save_attn",
+                                    "save_attn_qkv_raw", "dots_saveable"])
+def test_remat_policy_equivalence(policy):
+    """Named-residual remat policies (ops/pallas/remat_names.py) must not
+    change gradients — only what is saved vs recomputed."""
+    key = jax.random.PRNGKey(0)
+    x = jax.random.normal(key, (2, 16, 16, 3))
+    sigma = jnp.asarray([1.0, 3.0])
+    m1 = tiny_model("neighborhood", checkpointing=False)
+    m2 = tiny_model("neighborhood", checkpointing=True, remat_policy=policy)
+    v = m1.init(key, x, sigma)
+
+    def loss1(p):
+        return jnp.mean(m1.apply({"params": p}, x + 0.1, sigma) ** 2)
+
+    def loss2(p):
+        return jnp.mean(m2.apply({"params": p}, x + 0.1, sigma) ** 2)
+
+    g1 = jax.grad(loss1)(v["params"])
+    g2 = jax.grad(loss2)(v["params"])
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=1e-5),
+        g1, g2)
+
+
 def test_class_cond_required():
     model = tiny_model("global", num_classes=10)
     key = jax.random.PRNGKey(0)
