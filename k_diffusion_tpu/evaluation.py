@@ -9,9 +9,11 @@ evaluation.py:114,149 — on TPU we force `highest` matmul precision).
 Feature extractors: the reference downloads the StyleGAN-ADA torchscript
 InceptionV3 / CLIP / DINOv2 (evaluation.py:16-77). This environment has no
 network egress, so extractors load from a local cache when present:
-- 'inception': torchscript InceptionV3W at $XDG_CACHE_HOME/k-diffusion/
-  inception-2015-12-05.pt, executed with torch on CPU (feature math
-  identical to the reference);
+- 'inception': the pure-JAX InceptionV3W (models/inception_v3.py) running
+  ON-DEVICE, with weights converted once from the torchscript at
+  $XDG_CACHE_HOME/k-diffusion/inception-2015-12-05.pt (or an .npz export);
+- 'inception_torch': the torchscript executed with torch on host CPU —
+  kept as the reference-parity oracle;
 - 'clip' / 'dinov2': via transformers/torch.hub caches when present.
 Raises RuntimeError with a clear message when weights are unavailable
 (training then runs with evaluation disabled).
@@ -27,6 +29,48 @@ import numpy as np
 
 
 # --- feature extractors ---
+
+
+class InceptionV3FlaxExtractor:
+    """On-device InceptionV3W (models/inception_v3.py): the same FID network
+    the reference runs via torchscript (reference evaluation.py:16-31), as a
+    flax module so the 2048-d features are computed on the TPU. Input NHWC
+    jax array in [-1, 1]; preprocessing matches the reference wrapper:
+    bicubic antialiased resize to 299 in [-1, 1] space, then scale to
+    [0, 255] and clamp (the network scales by (x-128)/128 internally)."""
+
+    name = "inception"
+
+    def __init__(self, path=None, params=None):
+        from .models import inception_v3
+        self.model = inception_v3.InceptionV3W()
+        if params is None:
+            cache = Path(os.environ.get("XDG_CACHE_HOME",
+                                        Path.home() / ".cache"))
+            path = Path(path) if path else (
+                cache / "k-diffusion" / "inception-2015-12-05.pt")
+            if not path.exists():
+                raise RuntimeError(
+                    f"Inception weights not found at {path}; no network "
+                    "egress to download them (reference URL: "
+                    "nvlabs-fi-cdn.nvidia.com/stylegan2-ada-pytorch/"
+                    "pretrained/metrics/inception-2015-12-05.pt)")
+            if str(path).endswith(".npz"):
+                params = inception_v3.load_npz_params(path)
+            else:
+                params = inception_v3.load_torchscript_params(path)
+        self.params = params
+        self.size = (299, 299)
+        self._apply = jax.jit(
+            lambda p, x: self.model.apply({"params": p}, x))
+
+    def __call__(self, x):
+        b, _, _, ch = x.shape
+        x = jax.image.resize(x, (b, *self.size, ch), method="cubic")
+        if ch == 1:
+            x = jnp.tile(x, (1, 1, 1, 3))
+        x = jnp.clip(x * 127.5 + 127.5, 0, 255)
+        return self._apply(self.params, x)
 
 
 class TorchscriptInceptionExtractor:
@@ -138,6 +182,11 @@ class DINOv2FeatureExtractor:
 def make_extractor(name, **kwargs):
     try:
         if name == "inception":
+            # on-device flax extractor; 'inception_torch' forces the
+            # host-torch torchscript execution path (kept as the
+            # reference-parity oracle)
+            return InceptionV3FlaxExtractor(**kwargs)
+        if name == "inception_torch":
             return TorchscriptInceptionExtractor(**kwargs)
         if name == "clip":
             return CLIPFeatureExtractor(**kwargs)

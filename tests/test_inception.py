@@ -1,0 +1,140 @@
+"""InceptionV3W (pure-JAX FID network) tests — architecture contract,
+torch-state-dict loader, resize parity with the reference preprocessing,
+and the full compute_features -> fid pipeline with random weights (no
+downloads; reference k_diffusion/evaluation.py:16-31, 80-90)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from k_diffusion_tpu import evaluation
+from k_diffusion_tpu.models import inception_v3
+
+
+@pytest.fixture(scope="module")
+def random_params():
+    model = inception_v3.InceptionV3W()
+    return model.init(jax.random.PRNGKey(0),
+                      jnp.zeros((1, 299, 299, 3)))["params"]
+
+
+def test_architecture_contract(random_params):
+    """94 convs, and the canonical stage output widths of the TF graph."""
+    paths = inception_v3.conv_path_order()
+    assert len(paths) == inception_v3.N_CONVS == 94
+    shapes = inception_v3.conv_shape_order()
+
+    # documented concat widths: sum of branch outputs (last conv, or the
+    # fork widths, or the passthrough input for conv-less pool branches)
+    def block_width(block_name, in_width):
+        spec = dict(inception_v3._BLOCKS)[block_name]
+        total = 0
+        for _bname, _pool, convs, fork in spec:
+            if fork is not None:
+                total += sum(c[0] for c in fork)
+            elif convs:
+                total += convs[-1][0]
+            else:
+                total += in_width  # pool passthrough (reduction blocks)
+        return total
+
+    assert block_width("mixed_5b", 192) == 256
+    assert block_width("mixed_5c", 256) == 288
+    assert block_width("mixed_5d", 288) == 288
+    assert block_width("mixed_6a", 288) == 768
+    assert block_width("mixed_6b", 768) == 768
+    assert block_width("mixed_7a", 768) == 1280
+    assert block_width("mixed_7b", 1280) == 2048
+    assert block_width("mixed_7c", 2048) == 2048
+    assert shapes[0] == (3, 3, 3, 32)  # stem conv_1a
+    assert shapes[-1][-1] == 192  # mixed_7c pool projection
+
+
+def test_forward_shape_and_finite(random_params):
+    model = inception_v3.InceptionV3W()
+    x = jax.random.uniform(jax.random.PRNGKey(1), (2, 299, 299, 3),
+                           minval=0.0, maxval=255.0)
+    feats = model.apply({"params": random_params}, x)
+    assert feats.shape == (2, 2048)
+    assert bool(jnp.isfinite(feats).all())
+    # distinct inputs -> distinct features
+    assert float(jnp.abs(feats[0] - feats[1]).max()) > 0
+
+
+def test_torch_state_dict_loader_roundtrip(random_params):
+    """Convert the flax tree to a torch-layout ordered state dict (OIHW +
+    torchvision-style BN names), load it back, and require bit equality."""
+    items = []
+    for i, path in enumerate(inception_v3.conv_path_order()):
+        node = random_params
+        for p in path:
+            node = node[p]
+        prefix = f"layers.{i}"
+        items.append((f"{prefix}.conv.weight",
+                      np.asarray(node["conv"]["kernel"]).transpose(3, 2, 0, 1)))
+        items.append((f"{prefix}.bn.weight", np.asarray(node["gamma"])))
+        items.append((f"{prefix}.bn.bias", np.asarray(node["beta"])))
+        items.append((f"{prefix}.bn.running_mean", np.asarray(node["mean"])))
+        items.append((f"{prefix}.bn.running_var", np.asarray(node["var"])))
+    # the torchscript also carries the unused 1008-way classifier
+    items.append(("output.weight", np.zeros((1008, 2048), np.float32)))
+    items.append(("output.bias", np.zeros((1008,), np.float32)))
+
+    loaded = inception_v3.params_from_torch_state_dict(items)
+    flat_a = jax.tree_util.tree_leaves_with_path(random_params)
+    flat_b = jax.tree_util.tree_leaves_with_path(loaded)
+    assert len(flat_a) == len(flat_b)
+    for (pa, a), (pb, b) in zip(sorted(flat_a, key=lambda t: str(t[0])),
+                                sorted(flat_b, key=lambda t: str(t[0]))):
+        assert str(pa) == str(pb)
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_loader_rejects_wrong_architecture():
+    items = [("w", np.zeros((32, 3, 3, 3), np.float32))]
+    with pytest.raises(ValueError, match="94"):
+        inception_v3.params_from_torch_state_dict(items)
+
+
+@pytest.mark.parametrize("src", [64, 320])
+def test_resize_parity_with_torch(src):
+    """jax.image.resize(method='cubic') must match the reference's
+    torch bicubic antialias=True resize (both use the Keys a=-0.5 kernel
+    with kernel-width antialiasing) — the preprocessing half of FID parity
+    (reference evaluation.py:26-28)."""
+    import torch
+    x = np.random.default_rng(0).standard_normal((2, src, src, 3)).astype(
+        np.float32)
+    out_j = np.asarray(jax.image.resize(
+        jnp.asarray(x), (2, 299, 299, 3), method="cubic"))
+    t = torch.from_numpy(x).permute(0, 3, 1, 2)
+    out_t = torch.nn.functional.interpolate(
+        t, (299, 299), mode="bicubic", align_corners=False, antialias=True)
+    out_t = out_t.permute(0, 2, 3, 1).numpy()
+    np.testing.assert_allclose(out_j, out_t, atol=5e-3 * np.abs(out_t).max())
+
+
+def test_fid_pipeline_end_to_end_random_weights(random_params):
+    """compute_features -> fid/kid with the on-device extractor: identical
+    sample sets give fid ~ 0; disjoint noise sets give a positive, finite
+    value. Exercises the whole pipeline without downloaded weights."""
+    extractor = evaluation.InceptionV3FlaxExtractor(params=random_params)
+
+    def sample_fn_a(n):
+        return jax.random.uniform(jax.random.PRNGKey(2), (n, 32, 32, 3),
+                                  minval=-1.0, maxval=1.0)
+
+    def sample_fn_b(n):
+        return jax.random.uniform(jax.random.PRNGKey(3), (n, 32, 32, 3),
+                                  minval=-1.0, maxval=1.0)
+
+    feats_a = evaluation.compute_features(sample_fn_a, extractor, 8, 8)
+    feats_b = evaluation.compute_features(sample_fn_b, extractor, 8, 8)
+    assert feats_a.shape == (8, 2048)
+    d_same = float(evaluation.fid(feats_a, feats_a))
+    d_diff = float(evaluation.fid(feats_a, feats_b))
+    assert abs(d_same) < 1e-3
+    assert np.isfinite(d_diff) and d_diff > 0
+    k = float(evaluation.kid(feats_a, feats_b))
+    assert np.isfinite(k)
