@@ -427,50 +427,113 @@ def na2d(q, k, v, kernel_size, scale=1.0, tile=DEFAULT_TILE):
 # transposes at the head counts diffusion models use (2-8).
 
 
+# Row-group blocking: a 16x16 query tile's halo holds kr x krw = 22x24 keys
+# but each query's window covers only 7x7 — most of the (256, 528) logit
+# block is masked waste (the kernels run at ~50% MXU on what they compute,
+# so overcompute is the whole cost). Processing GQ query rows at a time
+# against just their (GQ + k - 1)-row slab of the halo cuts the computed
+# logits ~2.2x (gq=4, k=7: 4 groups x (64, 240) vs (256, 528)) while the
+# flat slab slice stays layout-trivial (row offsets are multiples of krw,
+# and krw % 8 == 0).
+GROUP_ROWS = 4
+
+
+def _fwd_group_geometry(h, kk, tq, gq):
+    """Static per-group slab geometry: rows per group slab."""
+    return min(gq + kk - 1, h)
+
+
+@functools.lru_cache
+def _fwd_masks_grouped(h, w, kk, tq, gq):
+    """f32 (nrb, ncb, ngroups, gq*tq, kg*krw) mask tables for the grouped
+    forward/dq kernels, host-precomputed (pure function of tile position)."""
+    import numpy as np
+    r, kr, krw = _halo_geometry(h, w, kk, tq)
+    kg = _fwd_group_geometry(h, kk, tq, gq)
+    nrb, ncb = h // tq, w // tq
+    ng = tq // gq
+    gnq, gnk = gq * tq, kg * krw
+    out = np.zeros((nrb, ncb, ng, gnq, gnk), np.float32)
+    iq = np.arange(gnq)[:, None]
+    ik = np.arange(gnk)[None, :]
+    for jr in range(nrb):
+        rs = np.clip(jr * tq - r, 0, h - kr)
+        for jc in range(ncb):
+            cs = np.clip(jc * tq - r, 0, w - krw)
+            for g in range(ng):
+                y0 = jr * tq + g * gq
+                og = np.clip(np.clip(y0 - r, 0, h - kk) - rs, 0, kr - kg)
+                qh = y0 + iq // tq
+                qw = jc * tq + iq % tq
+                kh = rs + og + ik // krw
+                kw = cs + ik % krw
+                wh = _np_window_start(qh, r, h, kk)
+                ww = _np_window_start(qw, r, w, kk)
+                out[jr, jc, g] = ((kh >= wh) & (kh < wh + kk)
+                                  & (kw >= ww) & (kw < ww + kk)
+                                  & (kh < h) & (kw < w))
+    return out
+
+
 def _na_packed_fwd_kernel(q_ref, k_ref, v_ref, mask_ref, o_ref, *res_refs,
-                          kernel_size, tq, h, w, scale, n_heads):
+                          kernel_size, tq, gq, h, w, scale, n_heads, kr, krw):
     c = q_ref.shape[-1]
     e = c // n_heads
-    nq = tq * tq
-    ks = k_ref[0, 0, 0]  # (nk, c)
-    vs = v_ref[0, 0, 0]
-    q = q_ref[0].reshape(nq, c)
-    mask = mask_ref[0, 0]
-    nk = ks.shape[0]
+    kk = kernel_size
+    r = (kk - 1) // 2
+    kg = _fwd_group_geometry(h, kk, tq, gq)
+    gnq, gnk = gq * tq, kg * krw
+    j = pl.program_id(0)
+    rs = jnp.clip(j * tq - r, 0, h - kr)
 
-    lane = jax.lax.broadcasted_iota(jnp.int32, (nq, c), 1)
-    lane_k = jax.lax.broadcasted_iota(jnp.int32, (nk, c), 1)
-    out = jnp.zeros((nq, c), jnp.float32)
-    lses = []
-    for head in range(n_heads):
-        q_h = jnp.where((lane // e) == head, q, 0).astype(q.dtype)
-        s = jax.lax.dot_general(
-            q_h, ks, dimension_numbers=(((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32) * scale
-        p = jnp.exp(s) * mask
-        l = jnp.sum(p, axis=1, keepdims=True)
-        if res_refs:
-            lses.append(jnp.log(l))
-        v_h = jnp.where((lane_k // e) == head, vs, 0).astype(vs.dtype)
-        out = out + jax.lax.dot_general(
-            (p / l).astype(q.dtype), v_h,
-            dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)
-    o_ref[0] = out.reshape(tq, tq, c).astype(o_ref.dtype)
-    if res_refs:  # training: per-head logsumexp map for the backward
-        res_refs[0][0] = jnp.concatenate(lses, axis=1).reshape(tq, tq, n_heads)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (gnq, c), 1)
+    lane_k = jax.lax.broadcasted_iota(jnp.int32, (gnk, c), 1)
+    for g in range(tq // gq):
+        y0 = j * tq + g * gq
+        og = jnp.clip(jnp.clip(y0 - r, 0, h - kk) - rs, 0, kr - kg)
+        ks = k_ref[0, 0, 0, pl.ds(og * krw, gnk), :]
+        vs = v_ref[0, 0, 0, pl.ds(og * krw, gnk), :]
+        q = q_ref[0, g * gq:(g + 1) * gq].reshape(gnq, c)
+        mask = mask_ref[0, 0, g]
+        out = jnp.zeros((gnq, c), jnp.float32)
+        lses = []
+        for head in range(n_heads):
+            q_h = jnp.where((lane // e) == head, q, 0).astype(q.dtype)
+            s = jax.lax.dot_general(
+                q_h, ks, dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32) * scale
+            p = jnp.exp(s) * mask
+            l = jnp.sum(p, axis=1, keepdims=True)
+            if res_refs:
+                lses.append(jnp.log(l))
+            v_h = jnp.where((lane_k // e) == head, vs, 0).astype(vs.dtype)
+            # normalize on the (gnq, c) output instead of the (gnq, gnk)
+            # probabilities — c < gnk, and v_h is head-masked so the
+            # per-head 1/l only touches this head's lanes
+            out = out + jax.lax.dot_general(
+                p.astype(q.dtype), v_h,
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32) / l
+        o_ref[0, g * gq:(g + 1) * gq] = (
+            out.reshape(gq, tq, c).astype(o_ref.dtype))
+        if res_refs:  # training: per-head logsumexp map for the backward
+            res_refs[0][0, g * gq:(g + 1) * gq] = (
+                jnp.concatenate(lses, axis=1).reshape(gq, tq, n_heads))
 
 
 def _na_packed_fwd(q, k, v, kernel_size, scale, tile, n_heads,
                    save_lse=False):
     b, h, w, c = q.shape
     tq = tile
+    gq = GROUP_ROWS if tq % GROUP_ROWS == 0 else tq
     nrb, ncb = h // tq, w // tq
     grid = (nrb, ncb, b)
-    masks = jnp.asarray(_fwd_masks(h, w, kernel_size, tq))
-    nq, nk = masks.shape[2], masks.shape[3]
+    r, kr, krw = _halo_geometry(h, w, kernel_size, tq)
+    masks = jnp.asarray(_fwd_masks_grouped(h, w, kernel_size, tq, gq))
+    ng, gnq, gnk = masks.shape[2], masks.shape[3], masks.shape[4]
     k_halo = _extract_halos(k, kernel_size, tq)
     v_halo = _extract_halos(v, kernel_size, tq)
+    nk = k_halo.shape[3]
     halo_spec = pl.BlockSpec((1, 1, 1, nk, c), lambda j, l, i: (i, j, l, 0, 0))
     out_specs = [pl.BlockSpec((1, tq, tq, c), lambda j, l, i: (i, j, l, 0))]
     out_shape = [jax.ShapeDtypeStruct(q.shape, q.dtype)]
@@ -480,13 +543,14 @@ def _na_packed_fwd(q, k, v, kernel_size, scale, tile, n_heads,
         out_shape.append(jax.ShapeDtypeStruct((b, h, w, n_heads), jnp.float32))
     res = pl.pallas_call(
         functools.partial(_na_packed_fwd_kernel, kernel_size=kernel_size,
-                          tq=tq, h=h, w=w, scale=scale, n_heads=n_heads),
+                          tq=tq, gq=gq, h=h, w=w, scale=scale,
+                          n_heads=n_heads, kr=kr, krw=krw),
         grid=grid,
         in_specs=[
             pl.BlockSpec((1, tq, tq, c), lambda j, l, i: (i, j, l, 0)),
             halo_spec,
             halo_spec,
-            pl.BlockSpec((1, 1, nq, nk), lambda j, l, i: (j, l, 0, 0)),
+            pl.BlockSpec((1, 1, ng, gnq, gnk), lambda j, l, i: (j, l, 0, 0, 0)),
         ],
         out_specs=out_specs if save_lse else out_specs[0],
         out_shape=out_shape if save_lse else out_shape[0],
@@ -495,107 +559,162 @@ def _na_packed_fwd(q, k, v, kernel_size, scale, tile, n_heads,
 
 
 def _na_packed_dq_kernel(q_ref, k_ref, v_ref, do_ref, o_ref, lse_ref,
-                         mask_ref, dq_ref, *, tq, scale, n_heads):
+                         mask_ref, dq_ref, *, kernel_size, tq, gq, h, w,
+                         scale, n_heads, kr, krw):
     """Channel-packed dq over query tiles: per-head attention via
-    head-masked matmuls (no (b,h,w,heads,e) -> (b*heads,...) transposes)."""
+    head-masked matmuls (no (b,h,w,heads,e) -> (b*heads,...) transposes),
+    row-grouped like the forward (shares its grouped mask tables)."""
     c = q_ref.shape[-1]
     e = c // n_heads
-    nq = tq * tq
-    ks = k_ref[0, 0, 0]  # (nk, c)
-    vs = v_ref[0, 0, 0]
-    q = q_ref[0].reshape(nq, c)
-    do = do_ref[0].reshape(nq, c)
-    o = o_ref[0].reshape(nq, c)
-    lse = lse_ref[0].reshape(nq, n_heads)
-    mask = mask_ref[0, 0]
-    nk = ks.shape[0]
+    kk = kernel_size
+    r = (kk - 1) // 2
+    kg = _fwd_group_geometry(h, kk, tq, gq)
+    gnq, gnk = gq * tq, kg * krw
+    j = pl.program_id(0)
+    rs = jnp.clip(j * tq - r, 0, h - kr)
 
-    lane = jax.lax.broadcasted_iota(jnp.int32, (nq, c), 1)
-    lane_k = jax.lax.broadcasted_iota(jnp.int32, (nk, c), 1)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (gnq, c), 1)
+    lane_k = jax.lax.broadcasted_iota(jnp.int32, (gnk, c), 1)
     # per-head delta = rowsum over the head's lanes of do*o, via one matmul
     # with the (c, heads) head-indicator matrix
     hrow = jax.lax.broadcasted_iota(jnp.int32, (c, n_heads), 0) // e
     hcol = jax.lax.broadcasted_iota(jnp.int32, (c, n_heads), 1)
     bdh = (hrow == hcol).astype(jnp.float32)
-    delta = jax.lax.dot_general(
-        do.astype(jnp.float32) * o.astype(jnp.float32), bdh,
-        dimension_numbers=(((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32)  # (nq, heads)
 
-    dq = jnp.zeros((nq, c), jnp.float32)
-    for head in range(n_heads):
-        q_h = jnp.where((lane // e) == head, q, 0).astype(q.dtype)
-        do_h = jnp.where((lane // e) == head, do, 0).astype(do.dtype)
-        s = jax.lax.dot_general(
-            q_h, ks, dimension_numbers=(((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32) * scale
-        p = jnp.exp(s - lse[:, head:head + 1]) * mask
-        dp = jax.lax.dot_general(
-            do_h, vs, dimension_numbers=(((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32)
-        ds = (p * (dp - delta[:, head:head + 1])).astype(q.dtype)
-        k_h = jnp.where((lane_k // e) == head, ks, 0).astype(ks.dtype)
-        dq = dq + jax.lax.dot_general(
-            ds, k_h, dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32) * scale
-    dq_ref[0] = dq.reshape(tq, tq, c).astype(dq_ref.dtype)
+    for g in range(tq // gq):
+        y0 = j * tq + g * gq
+        og = jnp.clip(jnp.clip(y0 - r, 0, h - kk) - rs, 0, kr - kg)
+        ks = k_ref[0, 0, 0, pl.ds(og * krw, gnk), :]
+        vs = v_ref[0, 0, 0, pl.ds(og * krw, gnk), :]
+        gs = slice(g * gq, (g + 1) * gq)
+        q = q_ref[0, gs].reshape(gnq, c)
+        do = do_ref[0, gs].reshape(gnq, c)
+        o = o_ref[0, gs].reshape(gnq, c)
+        lse = lse_ref[0, gs].reshape(gnq, n_heads)
+        mask = mask_ref[0, 0, g]
+        delta = jax.lax.dot_general(
+            do.astype(jnp.float32) * o.astype(jnp.float32), bdh,
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)  # (gnq, heads)
+
+        dq = jnp.zeros((gnq, c), jnp.float32)
+        for head in range(n_heads):
+            q_h = jnp.where((lane // e) == head, q, 0).astype(q.dtype)
+            do_h = jnp.where((lane // e) == head, do, 0).astype(do.dtype)
+            s = jax.lax.dot_general(
+                q_h, ks, dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32) * scale
+            p = jnp.exp(s - lse[:, head:head + 1]) * mask
+            dp = jax.lax.dot_general(
+                do_h, vs, dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            ds = (p * (dp - delta[:, head:head + 1])).astype(q.dtype)
+            k_h = jnp.where((lane_k // e) == head, ks, 0).astype(ks.dtype)
+            dq = dq + jax.lax.dot_general(
+                ds, k_h, dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32) * scale
+        dq_ref[0, gs] = dq.reshape(gq, tq, c).astype(dq_ref.dtype)
+
+
+def _dkv_slab_geometry(h, w, kk, tk, gk):
+    """Static query-slab geometry for the grouped dkv kernel: a group of gk
+    key rows is visible to gk + 2*(kk-1) query rows (clamped windows reach
+    kk-1 at the image edge). Slabs span the full width — a dynamic column
+    slice on top of the dynamic row slice crashes/hangs the Mosaic compiler
+    (tested at c=128 and c=256), and row-only slicing is the layout the
+    original row-slab kernel proved out."""
+    halo = kk - 1
+    qrg = min(gk + 2 * halo, h)
+    return halo, qrg, w
+
+
+@functools.lru_cache
+def _dkv_masks_grouped(h, w, kk, tk, gk):
+    """uint8 (nrb, ncb, ng, qrg*w, gk*tk) mask tables for the grouped dkv
+    kernel (full-width query row slabs around each key-row group)."""
+    import numpy as np
+    halo, qrg, qcw = _dkv_slab_geometry(h, w, kk, tk, gk)
+    r = (kk - 1) // 2
+    nrb, ncb = h // tk, w // tk
+    ng = tk // gk
+    nq, nk = qrg * qcw, gk * tk
+    out = np.zeros((nrb, ncb, ng, nq, nk), np.uint8)
+    iq = np.arange(nq)[:, None]
+    ik = np.arange(nk)[None, :]
+    for jr in range(nrb):
+        for jc in range(ncb):
+            for g in range(ng):
+                k0 = jr * tk + g * gk
+                rs = np.clip(k0 - halo, 0, h - qrg)
+                qh = rs + iq // qcw
+                qw = iq % qcw
+                kh = k0 + ik // tk
+                kw = jc * tk + ik % tk
+                wh = _np_window_start(qh, r, h, kk)
+                ww = _np_window_start(qw, r, w, kk)
+                out[jr, jc, g] = ((kh >= wh) & (kh < wh + kk)
+                                  & (kw >= ww) & (kw < ww + kk))
+    return out
 
 
 def _na_packed_dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
-                          mask_ref, dk_ref, dv_ref, *, kernel_size, tk, h, w,
-                          scale, n_heads):
-    """Channel-packed dk/dv over key tiles (row-slab queries, like the
-    per-head dkv kernel; q/do maps stay VMEM-resident per batch image)."""
+                          mask_ref, dk_ref, dv_ref, *, kernel_size, tk, gk,
+                          h, w, scale, n_heads):
+    """Channel-packed dk/dv over key tiles, grouped by key rows: each group
+    of gk key rows attends only its (gk + 2*(kk-1))-row full-width query
+    slab, sliced in-kernel from the VMEM-resident per-image q/do maps
+    (~1.4x fewer logits than the single 28-row slab at tile 16, and the
+    row-only dynamic slice is the one layout Mosaic handles robustly)."""
     kk = kernel_size
-    halo = kk - 1
-    qr = min(_round_up(tk + 2 * halo, 8), h)
+    halo, qrg, qcw = _dkv_slab_geometry(h, w, kk, tk, gk)
     c = q_ref.shape[-1]
     e = c // n_heads
-    nq, nk = qr * w, tk * tk
+    nq, nk = qrg * qcw, gk * tk
 
-    krow0 = pl.program_id(1) * tk
-    rs = jnp.clip(krow0 - halo, 0, h - qr)
-
-    q2 = q_ref[0, pl.ds(rs, qr), :, :].reshape(nq, c)
-    do2 = do_ref[0, pl.ds(rs, qr), :, :].reshape(nq, c)
-    lse2 = lse_ref[0, pl.ds(rs, qr), :, :].reshape(nq, n_heads)
-    delta2 = delta_ref[0, pl.ds(rs, qr), :, :].reshape(nq, n_heads)
-    kt = k_ref[0].reshape(nk, c)
-    vt = v_ref[0].reshape(nk, c)
-    mask2 = mask_ref[0, 0].reshape(nq, nk)
-
+    j = pl.program_id(1)
     lane = jax.lax.broadcasted_iota(jnp.int32, (nq, c), 1)
-    dk = jnp.zeros((nk, c), jnp.float32)
-    dv = jnp.zeros((nk, c), jnp.float32)
-    for head in range(n_heads):
-        q_h = jnp.where((lane // e) == head, q2, 0).astype(q2.dtype)
-        do_h = jnp.where((lane // e) == head, do2, 0).astype(do2.dtype)
-        s = jax.lax.dot_general(
-            q_h, kt, dimension_numbers=(((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32) * scale  # (nq, nk)
-        p = jnp.where(mask2 != 0,
-                      jnp.exp(s - lse2[:, head:head + 1]), 0.0)
-        p_lp = p.astype(q2.dtype)
-        dv = dv + jax.lax.dot_general(
-            p_lp, do_h, dimension_numbers=(((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)  # (nk, c)
-        dp = jax.lax.dot_general(
-            do_h, vt, dimension_numbers=(((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32)  # (nq, nk)
-        ds = (p * (dp - delta2[:, head:head + 1])).astype(q2.dtype)
-        dk = dk + jax.lax.dot_general(
-            ds, q_h, dimension_numbers=(((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32) * scale  # (nk, c)
-    dk_ref[0] = dk.reshape(tk, tk, c).astype(dk_ref.dtype)
-    dv_ref[0] = dv.reshape(tk, tk, c).astype(dv_ref.dtype)
+
+    for g in range(tk // gk):
+        k0 = j * tk + g * gk
+        rs = jnp.clip(k0 - halo, 0, h - qrg)
+        q2 = q_ref[0, pl.ds(rs, qrg), :, :].reshape(nq, c)
+        do2 = do_ref[0, pl.ds(rs, qrg), :, :].reshape(nq, c)
+        lse2 = lse_ref[0, pl.ds(rs, qrg), :, :].reshape(nq, n_heads)
+        delta2 = delta_ref[0, pl.ds(rs, qrg), :, :].reshape(nq, n_heads)
+        gs = slice(g * gk, (g + 1) * gk)
+        kt = k_ref[0, gs].reshape(nk, c)
+        vt = v_ref[0, gs].reshape(nk, c)
+        mask2 = mask_ref[0, 0, g]
+
+        dk = jnp.zeros((nk, c), jnp.float32)
+        dv = jnp.zeros((nk, c), jnp.float32)
+        for head in range(n_heads):
+            q_h = jnp.where((lane // e) == head, q2, 0).astype(q2.dtype)
+            do_h = jnp.where((lane // e) == head, do2, 0).astype(do2.dtype)
+            s = jax.lax.dot_general(
+                q_h, kt, dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32) * scale  # (nq, nk)
+            p = jnp.where(mask2 != 0,
+                          jnp.exp(s - lse2[:, head:head + 1]), 0.0)
+            p_lp = p.astype(q2.dtype)
+            dv = dv + jax.lax.dot_general(
+                p_lp, do_h, dimension_numbers=(((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)  # (nk, c)
+            dp = jax.lax.dot_general(
+                do_h, vt, dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)  # (nq, nk)
+            ds = (p * (dp - delta2[:, head:head + 1])).astype(q2.dtype)
+            dk = dk + jax.lax.dot_general(
+                ds, q_h, dimension_numbers=(((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32) * scale  # (nk, c)
+        dk_ref[0, gs] = dk.reshape(gk, tk, c).astype(dk_ref.dtype)
+        dv_ref[0, gs] = dv.reshape(gk, tk, c).astype(dv_ref.dtype)
 
 
 def _na_packed_bwd(kernel_size, scale, tile, n_heads, res, dout):
     q, k, v, out, lse = res
     b, h, w, c = q.shape
     e = c // n_heads
-    tq = tile
-    nrb, ncb = h // tq, w // tq
 
     # per-head delta map for dkv, via the (c, heads) head-indicator matmul
     # (stays in the packed layout; no (heads, e) split)
@@ -607,41 +726,68 @@ def _na_packed_bwd(kernel_size, scale, tile, n_heads, res, dout):
         "bhwc,cn->bhwn", dout.astype(jnp.float32) * out.astype(jnp.float32),
         bdh)  # (b, h, w, heads)
 
-    fwd_masks = jnp.asarray(_fwd_masks(h, w, kernel_size, tq))
-    nq, nk = fwd_masks.shape[2], fwd_masks.shape[3]
+    dq = _na_packed_dq(kernel_size, scale, tile, n_heads, q, k, v, out, lse,
+                       dout)
+    dk, dv = _na_packed_dkv(kernel_size, scale, tile, n_heads, q, k, v, lse,
+                            delta_map, dout)
+    return dq, dk, dv
+
+
+def _na_packed_dq(kernel_size, scale, tile, n_heads, q, k, v, out, lse,
+                  dout):
+    b, h, w, c = q.shape
+    tq = tile
+    gq = GROUP_ROWS if tq % GROUP_ROWS == 0 else tq
+    nrb, ncb = h // tq, w // tq
+    r, kr, krw = _halo_geometry(h, w, kernel_size, tq)
+    fwd_masks = jnp.asarray(_fwd_masks_grouped(h, w, kernel_size, tq, gq))
+    ng, gnq, gnk = fwd_masks.shape[2], fwd_masks.shape[3], fwd_masks.shape[4]
     k_halo = _extract_halos(k, kernel_size, tq)
     v_halo = _extract_halos(v, kernel_size, tq)
+    nk = k_halo.shape[3]
     halo_spec = pl.BlockSpec((1, 1, 1, nk, c), lambda j, l, i: (i, j, l, 0, 0))
     tile_c = pl.BlockSpec((1, tq, tq, c), lambda j, l, i: (i, j, l, 0))
     tile_h = pl.BlockSpec((1, tq, tq, n_heads), lambda j, l, i: (i, j, l, 0))
-    dq = pl.pallas_call(
-        functools.partial(_na_packed_dq_kernel, tq=tq, scale=scale,
-                          n_heads=n_heads),
+    return pl.pallas_call(
+        functools.partial(_na_packed_dq_kernel, kernel_size=kernel_size,
+                          tq=tq, gq=gq, scale=scale, n_heads=n_heads,
+                          h=h, w=w, kr=kr, krw=krw),
         grid=(nrb, ncb, b),
         in_specs=[tile_c, halo_spec, halo_spec, tile_c, tile_c, tile_h,
-                  pl.BlockSpec((1, 1, nq, nk), lambda j, l, i: (j, l, 0, 0))],
+                  pl.BlockSpec((1, 1, ng, gnq, gnk),
+                               lambda j, l, i: (j, l, 0, 0, 0))],
         out_specs=tile_c,
         out_shape=jax.ShapeDtypeStruct(q.shape, q.dtype),
     )(q, k_halo, v_halo, dout, out, lse, fwd_masks)
 
-    dkv_masks = jnp.asarray(_dkv_masks(h, w, kernel_size, tq))
-    qr, nk2 = dkv_masks.shape[2], dkv_masks.shape[4]
+
+def _na_packed_dkv(kernel_size, scale, tile, n_heads, q, k, v, lse,
+                   delta_map, dout):
+    b, h, w, c = q.shape
+    tq = tile
+    nrb, ncb = h // tq, w // tq
+    # key-row groups of 8 keep the (nq, gk*tk) mask / logit lane dim at a
+    # full 128 lanes (gk=4 -> 64 lanes crashes the Mosaic compiler)
+    gk = 8 if tq % 8 == 0 else tq
+    dkv_masks = jnp.asarray(_dkv_masks_grouped(h, w, kernel_size, tq, gk))
+    ng2, nq2, nk2 = dkv_masks.shape[2], dkv_masks.shape[3], dkv_masks.shape[4]
     full_c = pl.BlockSpec((1, h, w, c), lambda i, j, l: (i, 0, 0, 0))
     full_h = pl.BlockSpec((1, h, w, n_heads), lambda i, j, l: (i, 0, 0, 0))
     tile_kv = pl.BlockSpec((1, tq, tq, c), lambda i, j, l: (i, j, l, 0))
     dk, dv = pl.pallas_call(
         functools.partial(_na_packed_dkv_kernel, kernel_size=kernel_size,
-                          tk=tq, h=h, w=w, scale=scale, n_heads=n_heads),
+                          tk=tq, gk=gk, h=h, w=w, scale=scale,
+                          n_heads=n_heads),
         grid=(b, nrb, ncb),
         in_specs=[full_c, tile_kv, tile_kv, full_c, full_h, full_h,
-                  pl.BlockSpec((1, 1, qr, w, nk2),
+                  pl.BlockSpec((1, 1, ng2, nq2, nk2),
                                lambda i, j, l: (j, l, 0, 0, 0))],
         out_specs=[tile_kv, tile_kv],
         out_shape=[jax.ShapeDtypeStruct(k.shape, k.dtype),
                    jax.ShapeDtypeStruct(v.shape, v.dtype)],
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=64 * 2**20),
     )(q, k, v, dout, lse, delta_map, dkv_masks)
-    return dq, dk, dv
+    return dk, dv
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6))
