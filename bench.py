@@ -85,6 +85,40 @@ def bench_sampling(config, model, params, key):
     return batch / dt, dt / steps, batch
 
 
+def bench_512():
+    """512x512 sampling on the 4-level HDiT (configs/config_512_hdit.json),
+    50-step DPM++(2M) at batch 4 — the long-context scale story (a
+    128x128-token neighborhood-attention level)."""
+    from k_diffusion_tpu import config as config_mod, sampling
+    from k_diffusion_tpu.denoiser import Denoiser
+
+    config = config_mod.load_config(
+        os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                     "configs", "config_512_hdit.json"))
+    model = config_mod.make_model(config, dtype=jnp.bfloat16)
+    key = jax.random.PRNGKey(0)
+    params = jax.jit(model.init)(
+        key, jax.random.normal(key, (1, 512, 512, 3)), jnp.ones([1]))["params"]
+    b, mcfg = 4, config["model"]
+    init_x = jax.random.normal(key, (b, 512, 512, 3)) * mcfg["sigma_max"]
+    sigmas = sampling.get_sigmas_karras(50, mcfg["sigma_min"],
+                                        mcfg["sigma_max"])
+
+    @jax.jit
+    def sample(params, x, sigmas):
+        den = Denoiser(
+            lambda xi, si, **kw: model.apply({"params": params}, xi, si, **kw),
+            sigma_data=mcfg["sigma_data"])
+        return sampling.sample_dpmpp_2m(den, x, sigmas)
+
+    def run_once():
+        out = sample(params, init_x, sigmas)
+        return float(jnp.sum(out[:, 0, 0, 0]))
+
+    dt = _median_time(run_once, n_iters=3)
+    return b / dt
+
+
 def bench_train(config, remat):
     """Full train step (stratified sigmas, loss, grads, clip, 4-group AdamW,
     EMA) at batch 32, timed over an 8-step scan with a host readback."""
@@ -156,6 +190,7 @@ def main():
     del params
     train_ips, dt_train, train_batch = bench_train(config, remat=False)
     train_ips_remat, _, _ = bench_train(config, remat=True)
+    samples_512 = bench_512()
 
     peak, kind = _peak_flops()
     fwd_flops = 2 * flops_mod.analytic_transformer_flops(config, batch=1)
@@ -169,6 +204,7 @@ def main():
         "vs_baseline": round(samples_per_sec / BASELINE_SAMPLES_PER_SEC, 2),
         "train_imgs_per_sec": round(train_ips, 1),
         "train_imgs_per_sec_remat": round(train_ips_remat, 1),
+        "samples_per_sec_512": round(samples_512, 2),
         "sample_mfu": round(sample_mfu, 4),
         "train_mfu": round(train_mfu, 4),
         "device_kind": kind,
