@@ -79,7 +79,7 @@ def _global_sq_norm(tree):
 def make_train_step(model, denoiser_factory, sample_density, optimizer, *,
                     num_classes=0, cond_dropout_rate=0.0, stratified=True,
                     compute_gns=False, has_mapping_cond=False, apply_fn=None,
-                    gns_mesh=None, gns_data_axis="data"):
+                    mesh=None, data_axis="data"):
     """Returns ``step(state, batch, key, ema_decay) -> (state, metrics)``,
     jitted with the state donated (in-place on-device update).
 
@@ -91,13 +91,21 @@ def make_train_step(model, denoiser_factory, sample_density, optimizer, *,
     default flax apply (used e.g. to pack aug_cond into mapping_cond for
     image_v1's augment wrapper, reference augmentation.py:92-114).
 
-    ``gns_mesh``: when set (and compute_gns), the per-microbatch gradient is
-    computed under ``shard_map`` over ``gns_data_axis`` so each device's
-    pre-all-reduce gradient sq-norm is observable — the analog of the
-    reference's per-rank DDP communication hook (reference gns.py:5-34) —
-    then ``pmean``ed back into the usual averaged gradient. The small-batch
-    GNS signal is then the per-device batch (global batch / dp), not just
-    the accumulation microbatch. Pure-dp meshes only (params replicated).
+    ``mesh``: when set, the per-microbatch gradient runs under ``shard_map``
+    over ``data_axis`` with an explicit ``pmean`` (the XLA analog of DDP's
+    bucketed all-reduce, reference train.py:241). This is the path REAL
+    data-parallel meshes must take: inside shard_map every array is the
+    per-device shard, so the Pallas attention kernels (which GSPMD cannot
+    partition) see local shapes. Results are BIT-IDENTICAL to the
+    single-device step when model dropout is 0: the noise and class-dropout
+    draws are generated at the global batch shape and sliced per shard
+    (model dropout masks are per-shard ``fold_in``s — decorrelated, like
+    the reference's per-rank RNG). With compute_gns, each device's
+    pre-pmean gradient sq-norm is also reported — the analog of the
+    reference's per-rank DDP hook (reference gns.py:5-34) — making the
+    per-device batch the small-batch GNS signal. Only the data axis goes
+    manual: a tensor-parallel 'model' axis stays automatic, so in-model
+    sharding constraints over it still apply inside the body.
     """
 
     if apply_fn is None:
@@ -105,53 +113,69 @@ def make_train_step(model, denoiser_factory, sample_density, optimizer, *,
             return model.apply({"params": params}, x, sig, train=True,
                                rngs={"dropout": dropout_key}, **kwargs)
 
-    def microbatch_loss(params, mb, sigma, key):
+    def microbatch_loss(params, mb, sigma, key, shard=None):
+        """``shard``: (index, count) under shard_map — RNG draws tied to the
+        GLOBAL batch are generated at global shape and sliced, so the math
+        is layout-invariant."""
         k_noise, k_drop, k_dropout = jax.random.split(key, 3)
         reals = mb["reals"]
+        b_local = reals.shape[0]
+
+        def global_draw(draw_fn, local_shape, dtype=None):
+            if shard is None:
+                return draw_fn(local_shape)
+            idx, count = shard
+            full = draw_fn((b_local * count,) + tuple(local_shape[1:]))
+            return jax.lax.dynamic_slice_in_dim(full, idx * b_local, b_local)
+
         extra = {}
         if "class_cond" in mb:
             cls = mb["class_cond"]
             if cond_dropout_rate > 0:
-                drop = jax.random.uniform(k_drop, cls.shape) < cond_dropout_rate
-                cls = jnp.where(drop, jnp.full_like(cls, num_classes), cls)
+                u = global_draw(
+                    lambda s: jax.random.uniform(k_drop, s), cls.shape)
+                cls = jnp.where(u < cond_dropout_rate,
+                                jnp.full_like(cls, num_classes), cls)
             extra["class_cond"] = cls
         if "aug_cond" in mb:
             extra["aug_cond"] = mb["aug_cond"]
         if has_mapping_cond and "mapping_cond" in mb:
             extra["mapping_cond"] = mb["mapping_cond"]
 
+        if shard is not None:  # decorrelate model-dropout masks per shard
+            k_dropout = jax.random.fold_in(k_dropout, shard[0])
+
         def inner(x, sig, **kwargs):
             return apply_fn(params, x, sig, k_dropout, **kwargs)
 
         den = denoiser_factory(inner)
-        noise = jax.random.normal(k_noise, reals.shape, reals.dtype)
+        noise = global_draw(
+            lambda s: jax.random.normal(k_noise, s, reals.dtype), reals.shape)
         losses = den.loss(reals, noise, sigma, **extra)
         return jnp.mean(losses)
 
-    if compute_gns and gns_mesh is not None:
+    if mesh is not None:
         from jax import shard_map
         from jax.sharding import PartitionSpec as P
+        n_shards = mesh.shape[data_axis]
 
         def grad_microbatch(params, mb, sigma, key):
-            """Per-device grads + pre-psum sq-norm, then pmean back."""
+            """Per-device grads (+ pre-psum sq-norm), then pmean back."""
             def body(params, mb, sigma, key):
-                # decorrelate the noise/dropout draws across dp shards
-                key = jax.random.fold_in(key, jax.lax.axis_index(gns_data_axis))
+                shard = (jax.lax.axis_index(data_axis), n_shards)
                 loss, grads = jax.value_and_grad(microbatch_loss)(
-                    params, mb, sigma, key)
-                sqn = _global_sq_norm(grads)
-                return (jax.lax.pmean(loss, gns_data_axis),
-                        jax.lax.pmean(grads, gns_data_axis),
-                        jax.lax.pmean(sqn, gns_data_axis))
+                    params, mb, sigma, key, shard)
+                sqn = (_global_sq_norm(grads) if compute_gns
+                       else jnp.float32(0))
+                return (jax.lax.pmean(loss, data_axis),
+                        jax.lax.pmean(grads, data_axis),
+                        jax.lax.pmean(sqn, data_axis))
 
-            # only the data axis goes manual; any other mesh axis (e.g. a
-            # tensor-parallel 'model' axis) stays automatic so in-model
-            # sharding constraints over it still apply inside the body
             return shard_map(
-                body, mesh=gns_mesh,
-                in_specs=(P(), P(gns_data_axis), P(gns_data_axis), P()),
+                body, mesh=mesh,
+                in_specs=(P(), P(data_axis), P(data_axis), P()),
                 out_specs=(P(), P(), P()), check_vma=False,
-                axis_names=frozenset({gns_data_axis}),
+                axis_names=frozenset({data_axis}),
             )(params, mb, sigma, key)
     else:
         def grad_microbatch(params, mb, sigma, key):

@@ -75,6 +75,45 @@ def test_sharded_step_matches_single_device():
         jax.device_get(state1.ema_params), jax.device_get(state8.ema_params))
 
 
+def test_shard_map_step_matches_single_device():
+    """The shard_map dp path (mesh=...) — the one real multi-chip meshes
+    take so the Pallas kernels see per-device shapes — must also match the
+    single-device step: global-batch RNG draws (noise, class dropout) are
+    generated at global shape and sliced per shard."""
+    assert len(jax.devices()) >= 8
+    key = jax.random.PRNGKey(7)
+    batch = {"reals": jax.random.normal(key, (1, 16, 16, 16, 3))}
+    step_key = jax.random.fold_in(key, 1)
+
+    state1, step1 = _setup()
+    state1, m1 = step1(state1, batch, step_key, 0.99)
+
+    mesh = parallel.make_mesh(jax.devices()[:8])
+    cfg = config_mod.load_config(TINY)
+    model = config_mod.make_model(cfg)
+    k0 = jax.random.PRNGKey(0)
+    v = model.init(k0, jnp.zeros([1, 16, 16, 3]), jnp.ones([1]))
+    opt = training.make_optimizer(cfg, itv2.param_group_labels(v["params"]))
+    state8 = training.init_train_state(
+        model, opt, k0, {"reals": jnp.zeros([2, 16, 16, 3])})
+    step8 = training.make_train_step(
+        model, config_mod.make_denoiser_wrapper(cfg),
+        config_mod.make_sample_density(cfg["model"]), opt,
+        mesh=mesh, data_axis=parallel.DATA_AXIS)
+    with mesh:
+        state8 = parallel.replicate(state8, mesh)
+        sharding = jax.sharding.NamedSharding(
+            mesh, jax.sharding.PartitionSpec(None, parallel.DATA_AXIS))
+        batch8 = {k: jax.device_put(v_, sharding) for k, v_ in batch.items()}
+        state8, m8 = step8(state8, batch8, step_key, 0.99)
+
+    np.testing.assert_allclose(float(m1["loss"]), float(m8["loss"]), rtol=1e-5)
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=2e-6),
+        jax.device_get(state1.params), jax.device_get(state8.params))
+
+
 def test_sampling_shards_over_batch():
     """Samplers are pure batch maps: sharding the batch over the mesh must
     not change the result."""
@@ -111,7 +150,7 @@ def test_stratified_sigma_strata_cover_globally():
 
 
 def test_gns_dp_shard_small_differs_from_big():
-    """With gns_mesh set, the train step reports the mean per-device
+    """With mesh set (+gns), the train step reports the mean per-device
     (pre-all-reduce) gradient sq-norm as the small-batch GNS signal — it must
     be strictly larger than the sq-norm of the averaged gradient (noise adds
     in quadrature; reference gns.py:5-34 measures the same per-rank)."""
@@ -129,7 +168,7 @@ def test_gns_dp_shard_small_differs_from_big():
     den_factory = config_mod.make_denoiser_wrapper(cfg)
     step = training.make_train_step(
         model, den_factory, density, opt, stratified=False, compute_gns=True,
-        gns_mesh=mesh, gns_data_axis=parallel.DATA_AXIS)
+        mesh=mesh, data_axis=parallel.DATA_AXIS)
     with mesh:
         state = parallel.replicate(state, mesh)
         batch = {"reals": jax.random.normal(key, (1, 16, 16, 16, 3))}

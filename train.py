@@ -262,12 +262,15 @@ def main():
 
     state = parallel.replicate(state, mesh)
 
+    # dp > 1 always takes the shard_map path: inside it every array is the
+    # per-device shard, which is what lets the Pallas attention kernels
+    # (not GSPMD-partitionable) run under data parallelism on real meshes
     train_step = training.make_train_step(
         model, denoiser_factory, sample_density, opt,
         num_classes=num_classes, cond_dropout_rate=cond_dropout_rate,
         stratified=not args.gns, compute_gns=args.gns, apply_fn=apply_fn,
-        gns_mesh=mesh if gns_use_dp else None,
-        gns_data_axis=parallel.DATA_AXIS)
+        mesh=mesh if dp_size > 1 else None,
+        data_axis=parallel.DATA_AXIS)
 
     # demo sampling (reference train.py:331-369)
     def make_cfg_model_fn(den, cfg_scale=1.0):
