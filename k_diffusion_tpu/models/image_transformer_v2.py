@@ -269,7 +269,8 @@ class FeedForwardBlock(nn.Module):
         scale = cond @ norm_kernel.astype(cond.dtype) + 1
 
         t = hh * ww
-        block = 512 if t % 512 == 0 else (256 if t % 256 == 0 else 0)
+        block = (1024 if t % 1024 == 0 else
+                 512 if t % 512 == 0 else (256 if t % 256 == 0 else 0))
         # the fused kernel contains no dropout, so it is exact whenever
         # dropout is inactive — always at inference, and in training for the
         # dropout=0 blocks (train-eligible: its custom_vjp backward
