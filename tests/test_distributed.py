@@ -137,6 +137,33 @@ def test_sampling_shards_over_batch():
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-4)
 
 
+def test_sampling_under_shard_map_matches():
+    """Samplers run inside shard_map over the data axis (the path train.py's
+    demo/eval sampling takes under dp, so the Pallas kernels see per-device
+    shapes) must match the unsharded result exactly."""
+    from jax import shard_map
+    from k_diffusion_tpu import sampling
+
+    def gd(x, sigma):
+        sig = sigma.reshape(sigma.shape + (1,) * (x.ndim - sigma.ndim))
+        return x / (1 + sig ** 2)
+
+    key = jax.random.PRNGKey(0)
+    x = jax.random.normal(key, (16, 8, 8, 1)) * 80.0
+    sigmas = sampling.get_sigmas_karras(10, 1e-2, 80.0)
+    ref = sampling.sample_dpmpp_2m(gd, x, sigmas)
+
+    mesh = parallel.make_mesh(jax.devices()[:8])
+    P = jax.sharding.PartitionSpec
+    run = shard_map(
+        lambda x: sampling.sample_dpmpp_2m(gd, x, sigmas),
+        mesh=mesh, in_specs=(P(parallel.DATA_AXIS),),
+        out_specs=P(parallel.DATA_AXIS), check_vma=False,
+        axis_names=frozenset({parallel.DATA_AXIS}))
+    out = jax.jit(run)(x)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-4)
+
+
 def test_stratified_sigma_strata_cover_globally():
     """The train step stratifies sigmas over the flattened global batch:
     check the underlying stratified_uniform covers every stratum exactly

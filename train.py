@@ -294,6 +294,22 @@ def main():
             inner = lambda xi, si, **kw: model.apply({"params": ema_params}, xi, si, **kw)
         return denoiser_factory(inner)
 
+    def shard_sampler(run, n):
+        """Wrap a batch-parallel ``run(x, class_cond) -> samples`` in
+        shard_map over the data axis when dp divides the batch: inside it
+        every array is the per-device shard, so sampling parallelizes over
+        the mesh AND the Pallas kernels see local shapes (they are not
+        GSPMD-partitionable). Replicated single-device execution otherwise."""
+        if dp_size <= 1 or n % dp_size != 0:
+            return run
+        from jax import shard_map
+        P = jax.sharding.PartitionSpec
+        return shard_map(
+            run, mesh=mesh, in_specs=(P(parallel.DATA_AXIS),
+                                      P(parallel.DATA_AXIS)),
+            out_specs=P(parallel.DATA_AXIS), check_vma=False,
+            axis_names=frozenset({parallel.DATA_AXIS}))
+
     @jax.jit
     def demo_sample(ema_params, demo_key):
         den = make_cfg_model_fn(ema_denoiser(ema_params))
@@ -302,11 +318,15 @@ def main():
         x = jax.random.normal(
             k_noise, [n, size[0], size[1], model_config["input_channels"]]) * sigma_max
         sigmas = sampling.get_sigmas_karras(50, sigma_min, sigma_max, rho=7.0)
-        extra = {}
-        if num_classes:
-            extra["class_cond"] = jax.random.randint(k_cls, [n], 0, num_classes)
-        return sampling.sample_dpmpp_2m_sde(
-            den, x, sigmas, extra_args=extra, eta=0.0, solver_type="heun")
+        class_cond = (jax.random.randint(k_cls, [n], 0, num_classes)
+                      if num_classes else jnp.zeros([n], jnp.int32))
+
+        def run(x, class_cond):
+            extra = {"class_cond": class_cond} if num_classes else {}
+            return sampling.sample_dpmpp_2m_sde(
+                den, x, sigmas, extra_args=extra, eta=0.0, solver_type="heun")
+
+        return shard_sampler(run, n)(x, class_cond)
 
     def demo(step):
         if is_main:
@@ -372,11 +392,16 @@ def main():
             kx, kc = jax.random.split(k)
             x = jax.random.normal(
                 kx, [n_static, size[0], size[1], model_config["input_channels"]]) * sigma_max
-            extra = {}
-            if num_classes:
-                extra["class_cond"] = jax.random.randint(kc, [n_static], 0, num_classes)
-            return sampling.sample_dpmpp_2m_sde(
-                den, x, sigmas, extra_args=extra, eta=0.0, solver_type="heun")
+            class_cond = (jax.random.randint(kc, [n_static], 0, num_classes)
+                          if num_classes else jnp.zeros([n_static], jnp.int32))
+
+            def run(x, class_cond):
+                extra = {"class_cond": class_cond} if num_classes else {}
+                return sampling.sample_dpmpp_2m_sde(
+                    den, x, sigmas, extra_args=extra, eta=0.0,
+                    solver_type="heun")
+
+            return shard_sampler(run, n_static)(x, class_cond)
 
         counter = [0]
 
