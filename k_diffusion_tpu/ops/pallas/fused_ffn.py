@@ -21,6 +21,7 @@ import functools
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
 
 TOKEN_BLOCK = 512
 
@@ -90,6 +91,9 @@ def _ffn_fwd(x, scale, w_up, w_down, eps, block, save_up=False):
         ],
         out_specs=out_specs if save_up else out_specs[0],
         out_shape=out_shape if save_up else out_shape[0],
+        # 1024-token blocks with the saved f32 up-projection exceed the
+        # default 16M scoped-vmem budget; the chip has 128M
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=64 * 2**20),
     )(x, scale[:, None, :], w_up, w_down)
     return res if save_up else (res, None)
 
