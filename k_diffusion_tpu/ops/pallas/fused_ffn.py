@@ -125,8 +125,115 @@ def _fused_ffn_inner_fwd(x, scale, w_up, w_down, eps, block):
     out, up = _ffn_fwd(x, scale, w_up, w_down, eps, block, save_up=True)
     return out, (x, scale, w_up, w_down, up)
 
+def _ffn_bwd_kernel(x_ref, scale_ref, w_up_ref, w_down_ref, up_ref, g_ref,
+                    dx_ref, dscale_ref, dwu_ref, dwd_ref, *, eps, d_ff):
+    """Fused backward: recompute the norm factors and GEGLU activations from
+    the saved up-projection, then the 4 VJP matmuls — with the gelu-backward
+    elementwise chain fused in VMEM instead of XLA materializing dh/dup/h
+    maps in HBM. dW/dscale accumulate across grid programs via output-block
+    revisiting (token blocks are the innermost grid dim)."""
+    i = pl.program_id(0)
+    j = pl.program_id(1)
+    x = x_ref[0]                       # (T, d) bf16
+    g = g_ref[0]                       # (T, d)
+    up = up_ref[0]                     # (T, 2f)
+    s = scale_ref[0]                   # (1, d)
+    d = x.shape[-1]
+
+    xf = x.astype(jnp.float32)
+    ms = jnp.mean(xf * xf, axis=-1, keepdims=True)
+    r = jax.lax.rsqrt(ms + eps)
+    sf = s.astype(jnp.float32)
+    xn = (xf * (sf * r)).astype(x.dtype)
+
+    a = up[:, :d_ff].astype(jnp.float32)
+    gate = up[:, d_ff:].astype(jnp.float32)
+    # erf-gelu fwd + bwd: gelu(g) = g * Phi(g); gelu'(g) = Phi(g) + g*phi(g)
+    z = gate * (2.0 ** -0.5)
+    az = jnp.abs(z)
+    tt = 1.0 / (1.0 + 0.3275911 * az)
+    poly = tt * (0.254829592 + tt * (-0.284496736 + tt * (
+        1.421413741 + tt * (-1.453152027 + tt * 1.061405429))))
+    erf = jnp.sign(z) * (1.0 - poly * jnp.exp(-az * az))
+    Phi = 0.5 * (1.0 + erf)
+    phi = jnp.exp(-0.5 * gate * gate) * (2.0 * jnp.pi) ** -0.5
+    gelu = gate * Phi
+    h = (a * gelu).astype(x.dtype)
+
+    dh = jax.lax.dot_general(
+        g, w_down_ref[...], dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)          # (T, f)
+    da = dh * gelu
+    dgate = dh * a * (Phi + gate * phi)
+    dup = jnp.concatenate([da, dgate], axis=1).astype(x.dtype)  # (T, 2f)
+
+    first = (i == 0) & (j == 0)
+
+    @pl.when(first)
+    def _():
+        dwd_ref[...] = jnp.zeros_like(dwd_ref)
+        dwu_ref[...] = jnp.zeros_like(dwu_ref)
+
+    dwd_ref[...] += jax.lax.dot_general(
+        h, g, dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)          # (f, d)
+    dwu_ref[...] += jax.lax.dot_general(
+        xn, dup, dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)          # (d, 2f)
+
+    dxn = jax.lax.dot_general(
+        dup, w_up_ref[...], dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)          # (T, d)
+    g1 = dxn * sf
+    dot = jnp.sum(g1 * xf, axis=-1, keepdims=True)
+    dx = r * g1 - xf * (r * r * r / d) * dot + g.astype(jnp.float32)
+    dx_ref[0] = dx.astype(dx_ref.dtype)
+
+    @pl.when(j == 0)
+    def _():
+        dscale_ref[...] = jnp.zeros_like(dscale_ref)
+
+    dscale_ref[0] += jnp.sum(dxn * xf * r, axis=0, keepdims=True)  # (1, d)
+
+
+def _ffn_bwd_pallas(x, scale, w_up, w_down, up, g, eps, block):
+    b, t, d = x.shape
+    d_ff = w_down.shape[0]
+    grid = (b, t // block)
+    dx, dscale, dwu, dwd = pl.pallas_call(
+        functools.partial(_ffn_bwd_kernel, eps=eps, d_ff=d_ff),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, block, d), lambda i, j: (i, j, 0)),
+            pl.BlockSpec((1, 1, d), lambda i, j: (i, 0, 0)),
+            pl.BlockSpec((d, 2 * d_ff), lambda i, j: (0, 0)),
+            pl.BlockSpec((d_ff, d), lambda i, j: (0, 0)),
+            pl.BlockSpec((1, block, 2 * d_ff), lambda i, j: (i, j, 0)),
+            pl.BlockSpec((1, block, d), lambda i, j: (i, j, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, block, d), lambda i, j: (i, j, 0)),
+            pl.BlockSpec((1, 1, d), lambda i, j: (i, 0, 0)),
+            pl.BlockSpec((d, 2 * d_ff), lambda i, j: (0, 0)),
+            pl.BlockSpec((d_ff, d), lambda i, j: (0, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct(x.shape, x.dtype),
+            jax.ShapeDtypeStruct((b, 1, d), jnp.float32),
+            jax.ShapeDtypeStruct((d, 2 * d_ff), jnp.float32),
+            jax.ShapeDtypeStruct((d_ff, d), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=64 * 2**20),
+    )(x, scale[:, None, :], w_up, w_down, up, g)
+    return (dx, dscale.reshape(b, d).astype(scale.dtype),
+            dwu.astype(w_up.dtype), dwd.astype(w_down.dtype))
+
+
 def _fused_ffn_inner_bwd(eps, block, res, g):
     x, scale, w_up, w_down, up = res
+    from . import xla_forced
+    if jax.default_backend() == "tpu" and not xla_forced():
+        return _ffn_bwd_pallas(x, scale, w_up, w_down, up, g, eps, block)
     _, tail_vjp = jax.vjp(lambda up_, wd_, x_: _geglu_tail(up_, wd_, x_),
                           up, w_down, x)
     dup, dw_down, dx_skip = tail_vjp(g)

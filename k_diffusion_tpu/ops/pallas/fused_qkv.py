@@ -23,10 +23,11 @@ Design notes (all Mosaic-constraint driven):
   below bf16 resolution. The XLA fallback uses the passed-in ``pos`` and is
   bit-identical to the unfused model path.
 
-Eval-path only: the backward (reverse-mode only, e.g. CLIP-guided sampling)
-recomputes through the plain XLA composition via custom_vjp; training
-routes to the unfused path in the model, and forward-mode (log_likelihood)
-uses the force_xla() escape hatch like the other kernels.
+Train-eligible: the custom_vjp backward splits into the mid-chain vjp
+(RoPE/cosine-sim, XLA elementwise) and a fused Pallas head-chain backward
+(norm recompute + the three VJP matmuls with the f32 norm-backward chain
+kept in VMEM). Forward-mode (log_likelihood) uses the force_xla() escape
+hatch like the other kernels.
 """
 
 import functools
@@ -247,16 +248,97 @@ def _fused_qkv_fwd_rule(x, pos, norm_scale, w_qkv, attn_scale, n_heads, eps,
                        name_tree(qkv_raw, QKV_RAW))
 
 
+def _head_bwd_kernel(x_ref, ns_ref, wq_ref, dr_ref, dx_ref, dns_ref, dwq_ref,
+                     *, eps):
+    """Fused head-chain backward: recompute the RMS-norm factors, then
+    dwq += xn^T dqkv_raw; dxn = dqkv_raw Wq^T; norm backward -> dx, dns —
+    keeping the f32 norm-backward maps in VMEM (XLA materializes three f32
+    full maps per layer for the same chain). dwq/dns accumulate via output
+    revisiting (token blocks innermost)."""
+    i = pl.program_id(0)
+    j = pl.program_id(1)
+    x = x_ref[0]                       # (T, d)
+    dr = dr_ref[0]                     # (T, 3d)
+    s = ns_ref[0]                      # (1, d)
+    d = x.shape[-1]
+
+    xf = x.astype(jnp.float32)
+    ms = jnp.mean(xf * xf, axis=-1, keepdims=True)
+    r = jax.lax.rsqrt(ms + eps)
+    sf = s.astype(jnp.float32)
+    xn = (xf * (sf * r)).astype(x.dtype)
+
+    @pl.when((i == 0) & (j == 0))
+    def _():
+        dwq_ref[...] = jnp.zeros_like(dwq_ref)
+
+    dwq_ref[...] += jax.lax.dot_general(
+        xn, dr, dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)          # (d, 3d)
+
+    dxn = jax.lax.dot_general(
+        dr, wq_ref[...], dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)          # (T, d)
+    g1 = dxn * sf
+    dot = jnp.sum(g1 * xf, axis=-1, keepdims=True)
+    dx = r * g1 - xf * (r * r * r / d) * dot
+    dx_ref[0] = dx.astype(dx_ref.dtype)
+
+    @pl.when(j == 0)
+    def _():
+        dns_ref[...] = jnp.zeros_like(dns_ref)
+
+    dns_ref[0] += jnp.sum(dxn * xf * r, axis=0, keepdims=True)  # (1, d)
+
+
+def _head_bwd_pallas(x, norm_scale, w_qkv, dqkv_raw, eps):
+    b, h, w, d = x.shape
+    t = h * w
+    block = (1024 if t % 1024 == 0 else
+             512 if t % 512 == 0 else (256 if t % 256 == 0 else t))
+    xt = x.reshape(b, t, d)
+    drt = dqkv_raw.reshape(b, t, 3 * d)
+    grid = (b, t // block)
+    dx, dns, dwq = pl.pallas_call(
+        functools.partial(_head_bwd_kernel, eps=eps),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, block, d), lambda i, j: (i, j, 0)),
+            pl.BlockSpec((1, 1, d), lambda i, j: (i, 0, 0)),
+            pl.BlockSpec((d, 3 * d), lambda i, j: (0, 0)),
+            pl.BlockSpec((1, block, 3 * d), lambda i, j: (i, j, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, block, d), lambda i, j: (i, j, 0)),
+            pl.BlockSpec((1, 1, d), lambda i, j: (i, 0, 0)),
+            pl.BlockSpec((d, 3 * d), lambda i, j: (0, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((b, t, d), x.dtype),
+            jax.ShapeDtypeStruct((b, 1, d), jnp.float32),
+            jax.ShapeDtypeStruct((d, 3 * d), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=64 * 2**20),
+    )(xt, norm_scale[:, None, :], w_qkv, drt)
+    return (dx.reshape(b, h, w, d),
+            dns.reshape(b, d).astype(norm_scale.dtype),
+            dwq.astype(w_qkv.dtype))
+
+
 def _fused_qkv_bwd_rule(n_heads, eps, cos_eps, tile, res, g):
     x, pos, norm_scale, w_qkv, attn_scale, qkv_raw = res
     _, mid_vjp = jax.vjp(
         lambda qr_, as_: _mid_chain_packed(qr_, as_, n_heads, cos_eps),
         qkv_raw, attn_scale)
     dqkv_raw, das = mid_vjp(g)
-    _, head_vjp = jax.vjp(
-        lambda x_, ns_, wq_: _head_chain(x_, ns_, wq_, eps),
-        x, norm_scale, w_qkv)
-    dx, dns, dwq = head_vjp(dqkv_raw)
+    from . import xla_forced
+    if jax.default_backend() == "tpu" and not xla_forced():
+        dx, dns, dwq = _head_bwd_pallas(x, norm_scale, w_qkv, dqkv_raw, eps)
+    else:
+        _, head_vjp = jax.vjp(
+            lambda x_, ns_, wq_: _head_chain(x_, ns_, wq_, eps),
+            x, norm_scale, w_qkv)
+        dx, dns, dwq = head_vjp(dqkv_raw)
     return dx, jnp.zeros_like(pos), dns, dwq, das
 
 
