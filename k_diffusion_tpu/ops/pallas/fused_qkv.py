@@ -248,29 +248,80 @@ def _fused_qkv_fwd_rule(x, pos, norm_scale, w_qkv, attn_scale, n_heads, eps,
                        name_tree(qkv_raw, QKV_RAW))
 
 
-def _head_bwd_kernel(x_ref, ns_ref, wq_ref, dr_ref, dx_ref, dns_ref, dwq_ref,
-                     *, eps):
-    """Fused head-chain backward: recompute the RMS-norm factors, then
-    dwq += xn^T dqkv_raw; dxn = dqkv_raw Wq^T; norm backward -> dx, dns —
-    keeping the f32 norm-backward maps in VMEM (XLA materializes three f32
-    full maps per layer for the same chain). dwq/dns accumulate via output
-    revisiting (token blocks innermost)."""
+def _prologue_bwd_kernel(x_ref, ns_ref, wq_ref, raw_ref, rootsc_ref, cos_ref,
+                         sin_ref, gq_ref, gk_ref, gv_ref,
+                         dx_ref, dns_ref, dwq_ref, das_ref, *, d, n_heads,
+                         eps, cos_eps):
+    """The whole prologue backward in one kernel: RoPE vjp (same laneswap
+    structure as the forward, order flipped: dx = cos*g + swap(sin*g)),
+    cosine-sim vjp (per-head sums via the block-diagonal-ones matmul),
+    dwq/dxn matmuls, and the f32 RMS-norm backward — with every
+    intermediate (incl. dqkv_raw, which the XLA chain materializes at
+    (b, t, 3d)) staying in VMEM. dwq/dns/das accumulate via output-block
+    revisiting; das is emitted as per-lane sums of g*qn (the tiny
+    (heads,)-reduction and /2*attn_scale finish in XLA)."""
     i = pl.program_id(0)
     j = pl.program_id(1)
+    e = d // n_heads
     x = x_ref[0]                       # (T, d)
-    dr = dr_ref[0]                     # (T, 3d)
+    raw = raw_ref[0]                   # (T, 3d)
     s = ns_ref[0]                      # (1, d)
-    d = x.shape[-1]
+    root = rootsc_ref[0]               # (1, d)
+    cos_t = cos_ref[0].astype(jnp.float32)   # (T, d)
+    sin_t = sin_ref[0].astype(jnp.float32)
 
+    # --- mid-chain vjp: (gq, gk) -> d(raw q), d(raw k) ---
+    row = jax.lax.broadcasted_iota(jnp.int32, (d, d), 0) // e
+    col = jax.lax.broadcasted_iota(jnp.int32, (d, d), 1) // e
+    blockdiag = (row == col).astype(jnp.float32)
+    dn = (((1,), (0,)), ((), ()))
+
+    def rope_vjp(g):
+        sg = sin_t * g
+        left = pltpu.roll(sg, sg.shape[1] - 16, 1)
+        right = pltpu.roll(sg, 16, 1)
+        blk = (jax.lax.broadcasted_iota(jnp.int32, sg.shape, 1) // 16) % 2
+        return cos_t * g + jnp.where(blk == 0, left, right)
+
+    def cossim_vjp(q_raw, g):
+        """q_raw: raw section (T, d) f32; g: cotangent of the normalized
+        section. Returns (dq_raw, per-lane g*qn sums for das)."""
+        ssq = jax.lax.dot_general(q_raw * q_raw, blockdiag,
+                                  dimension_numbers=dn,
+                                  preferred_element_type=jnp.float32)
+        r = jax.lax.rsqrt(ssq + cos_eps)
+        rho = root * r
+        qn = q_raw * rho
+        gq_sum = jax.lax.dot_general(g * q_raw, blockdiag,
+                                     dimension_numbers=dn,
+                                     preferred_element_type=jnp.float32)
+        dq = rho * g - q_raw * (root * r * r * r) * gq_sum
+        lane_das = jnp.sum(g * qn, axis=0, keepdims=True)  # (1, d)
+        return dq, lane_das
+
+    gq = rope_vjp(gq_ref[0].astype(jnp.float32))
+    gk = rope_vjp(gk_ref[0].astype(jnp.float32))
+    q_raw = raw[:, :d].astype(jnp.float32)
+    k_raw = raw[:, d:2 * d].astype(jnp.float32)
+    dq_raw, das_q = cossim_vjp(q_raw, gq)
+    dk_raw, das_k = cossim_vjp(k_raw, gk)
+    dr = jnp.concatenate(
+        [dq_raw, dk_raw, gv_ref[0].astype(jnp.float32)],
+        axis=1).astype(x.dtype)        # (T, 3d)
+
+    @pl.when((i == 0) & (j == 0))
+    def _():
+        das_ref[...] = jnp.zeros_like(das_ref)
+        dwq_ref[...] = jnp.zeros_like(dwq_ref)
+
+    das_ref[0] += das_q + das_k
+
+    # --- head-chain vjp: dr -> dx, dns, dwq ---
     xf = x.astype(jnp.float32)
     ms = jnp.mean(xf * xf, axis=-1, keepdims=True)
     r = jax.lax.rsqrt(ms + eps)
     sf = s.astype(jnp.float32)
     xn = (xf * (sf * r)).astype(x.dtype)
-
-    @pl.when((i == 0) & (j == 0))
-    def _():
-        dwq_ref[...] = jnp.zeros_like(dwq_ref)
 
     dwq_ref[...] += jax.lax.dot_general(
         xn, dr, dimension_numbers=(((0,), (0,)), ((), ())),
@@ -291,54 +342,74 @@ def _head_bwd_kernel(x_ref, ns_ref, wq_ref, dr_ref, dx_ref, dns_ref, dwq_ref,
     dns_ref[0] += jnp.sum(dxn * xf * r, axis=0, keepdims=True)  # (1, d)
 
 
-def _head_bwd_pallas(x, norm_scale, w_qkv, dqkv_raw, eps):
+def _prologue_bwd_pallas(x, norm_scale, w_qkv, attn_scale, qkv_raw,
+                         gq, gk, gv, n_heads, eps, cos_eps):
     b, h, w, d = x.shape
     t = h * w
     block = (1024 if t % 1024 == 0 else
              512 if t % 512 == 0 else (256 if t % 256 == 0 else t))
-    xt = x.reshape(b, t, d)
-    drt = dqkv_raw.reshape(b, t, 3 * d)
+    cos_t, sin_t = _rope_tables(h, w, n_heads, d // n_heads)
+    root = jnp.repeat(jnp.sqrt(attn_scale.astype(jnp.float32)), d // n_heads)
     grid = (b, t // block)
-    dx, dns, dwq = pl.pallas_call(
-        functools.partial(_head_bwd_kernel, eps=eps),
+    tok_d = pl.BlockSpec((1, block, d), lambda i, j: (i, j, 0))
+    tab_d = pl.BlockSpec((1, block, d), lambda i, j: (0, j, 0))
+    dx, dns, dwq, das_lanes = pl.pallas_call(
+        functools.partial(_prologue_bwd_kernel, d=d, n_heads=n_heads,
+                          eps=eps, cos_eps=cos_eps),
         grid=grid,
         in_specs=[
-            pl.BlockSpec((1, block, d), lambda i, j: (i, j, 0)),
+            tok_d,
             pl.BlockSpec((1, 1, d), lambda i, j: (i, 0, 0)),
             pl.BlockSpec((d, 3 * d), lambda i, j: (0, 0)),
             pl.BlockSpec((1, block, 3 * d), lambda i, j: (i, j, 0)),
+            pl.BlockSpec((1, d), lambda i, j: (0, 0)),
+            tab_d,
+            tab_d,
+            tok_d,
+            tok_d,
+            tok_d,
         ],
         out_specs=[
-            pl.BlockSpec((1, block, d), lambda i, j: (i, j, 0)),
+            tok_d,
             pl.BlockSpec((1, 1, d), lambda i, j: (i, 0, 0)),
             pl.BlockSpec((d, 3 * d), lambda i, j: (0, 0)),
+            pl.BlockSpec((1, 1, d), lambda i, j: (0, 0, 0)),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((b, t, d), x.dtype),
             jax.ShapeDtypeStruct((b, 1, d), jnp.float32),
             jax.ShapeDtypeStruct((d, 3 * d), jnp.float32),
+            jax.ShapeDtypeStruct((1, 1, d), jnp.float32),
         ],
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=64 * 2**20),
-    )(xt, norm_scale[:, None, :], w_qkv, drt)
+    )(x.reshape(b, t, d), norm_scale[:, None, :], w_qkv,
+      qkv_raw.reshape(b, t, 3 * d), root[None],
+      jnp.asarray(cos_t).reshape(1, t, d), jnp.asarray(sin_t).reshape(1, t, d),
+      gq.reshape(b, t, d), gk.reshape(b, t, d), gv.reshape(b, t, d))
+    das = (das_lanes.reshape(n_heads, d // n_heads).sum(axis=1)
+           / (2.0 * attn_scale.astype(jnp.float32))).astype(attn_scale.dtype)
     return (dx.reshape(b, h, w, d),
             dns.reshape(b, d).astype(norm_scale.dtype),
-            dwq.astype(w_qkv.dtype))
+            dwq.astype(w_qkv.dtype), das)
 
 
 def _fused_qkv_bwd_rule(n_heads, eps, cos_eps, tile, res, g):
     x, pos, norm_scale, w_qkv, attn_scale, qkv_raw = res
+    from . import xla_forced
+    if jax.default_backend() == "tpu" and not xla_forced():
+        gq, gk, gv = g
+        dx, dns, dwq, das = _prologue_bwd_pallas(
+            x, norm_scale, w_qkv, attn_scale, qkv_raw, gq, gk, gv,
+            n_heads, eps, cos_eps)
+        return dx, jnp.zeros_like(pos), dns, dwq, das
     _, mid_vjp = jax.vjp(
         lambda qr_, as_: _mid_chain_packed(qr_, as_, n_heads, cos_eps),
         qkv_raw, attn_scale)
     dqkv_raw, das = mid_vjp(g)
-    from . import xla_forced
-    if jax.default_backend() == "tpu" and not xla_forced():
-        dx, dns, dwq = _head_bwd_pallas(x, norm_scale, w_qkv, dqkv_raw, eps)
-    else:
-        _, head_vjp = jax.vjp(
-            lambda x_, ns_, wq_: _head_chain(x_, ns_, wq_, eps),
-            x, norm_scale, w_qkv)
-        dx, dns, dwq = head_vjp(dqkv_raw)
+    _, head_vjp = jax.vjp(
+        lambda x_, ns_, wq_: _head_chain(x_, ns_, wq_, eps),
+        x, norm_scale, w_qkv)
+    dx, dns, dwq = head_vjp(dqkv_raw)
     return dx, jnp.zeros_like(pos), dns, dwq, das
 
 
