@@ -558,12 +558,17 @@ def _na_packed_fwd(q, k, v, kernel_size, scale, tile, n_heads,
     return res if save_lse else (res, None)
 
 
-def _na_packed_dq_kernel(q_ref, k_ref, v_ref, do_ref, o_ref, lse_ref,
-                         mask_ref, dq_ref, *, kernel_size, tq, gq, h, w,
-                         scale, n_heads, kr, krw):
-    """Channel-packed dq over query tiles: per-head attention via
-    head-masked matmuls (no (b,h,w,heads,e) -> (b*heads,...) transposes),
-    row-grouped like the forward (shares its grouped mask tables)."""
+def _na_packed_dqkv_kernel(q_ref, k_ref, v_ref, do_ref, o_ref, lse_ref,
+                           mask_ref, dq_ref, dk_ref, dv_ref, *, kernel_size,
+                           tq, gq, h, w, scale, n_heads, kr, krw):
+    """Channel-packed backward over QUERY tiles, row-grouped like the
+    forward (shares its grouped mask tables): per-head head-masked matmuls
+    produce dq directly AND per-tile halo-shaped dk/dv partials from the
+    same p/ds blocks (ds^T q and p^T do). Each (query, key) pair lives in
+    exactly one query tile, so the partials overlap-add into the full dk/dv
+    maps on the XLA side (_scatter_halos) — ~10x fewer computed logits than
+    a key-tile-centric dkv kernel whose full-width query slabs re-touch
+    every pair."""
     c = q_ref.shape[-1]
     e = c // n_heads
     kk = kernel_size
@@ -580,6 +585,11 @@ def _na_packed_dq_kernel(q_ref, k_ref, v_ref, do_ref, o_ref, lse_ref,
     hrow = jax.lax.broadcasted_iota(jnp.int32, (c, n_heads), 0) // e
     hcol = jax.lax.broadcasted_iota(jnp.int32, (c, n_heads), 1)
     bdh = (hrow == hcol).astype(jnp.float32)
+
+    # group slabs overlap and edge-tile groups do not reach the last halo
+    # rows, so start from zero and read-modify-write per group
+    dk_ref[0, 0, 0] = jnp.zeros_like(dk_ref[0, 0, 0])
+    dv_ref[0, 0, 0] = jnp.zeros_like(dv_ref[0, 0, 0])
 
     for g in range(tq // gq):
         y0 = j * tq + g * gq
@@ -598,6 +608,8 @@ def _na_packed_dq_kernel(q_ref, k_ref, v_ref, do_ref, o_ref, lse_ref,
             preferred_element_type=jnp.float32)  # (gnq, heads)
 
         dq = jnp.zeros((gnq, c), jnp.float32)
+        dk_g = jnp.zeros((gnk, c), jnp.float32)
+        dv_g = jnp.zeros((gnk, c), jnp.float32)
         for head in range(n_heads):
             q_h = jnp.where((lane // e) == head, q, 0).astype(q.dtype)
             do_h = jnp.where((lane // e) == head, do, 0).astype(do.dtype)
@@ -613,128 +625,41 @@ def _na_packed_dq_kernel(q_ref, k_ref, v_ref, do_ref, o_ref, lse_ref,
             dq = dq + jax.lax.dot_general(
                 ds, k_h, dimension_numbers=(((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32) * scale
-        dq_ref[0, gs] = dq.reshape(gq, tq, c).astype(dq_ref.dtype)
-
-
-def _dkv_slab_geometry(h, w, kk, tk, gk):
-    """Static query-slab geometry for the grouped dkv kernel: a group of gk
-    key rows is visible to gk + 2*(kk-1) query rows (clamped windows reach
-    kk-1 at the image edge). Slabs span the full width — a dynamic column
-    slice on top of the dynamic row slice crashes/hangs the Mosaic compiler
-    (tested at c=128 and c=256), and row-only slicing is the layout the
-    original row-slab kernel proved out."""
-    halo = kk - 1
-    qrg = min(gk + 2 * halo, h)
-    return halo, qrg, w
-
-
-@functools.lru_cache
-def _dkv_masks_grouped(h, w, kk, tk, gk):
-    """uint8 (nrb, ncb, ng, qrg*w, gk*tk) mask tables for the grouped dkv
-    kernel (full-width query row slabs around each key-row group)."""
-    import numpy as np
-    halo, qrg, qcw = _dkv_slab_geometry(h, w, kk, tk, gk)
-    r = (kk - 1) // 2
-    nrb, ncb = h // tk, w // tk
-    ng = tk // gk
-    nq, nk = qrg * qcw, gk * tk
-    out = np.zeros((nrb, ncb, ng, nq, nk), np.uint8)
-    iq = np.arange(nq)[:, None]
-    ik = np.arange(nk)[None, :]
-    for jr in range(nrb):
-        for jc in range(ncb):
-            for g in range(ng):
-                k0 = jr * tk + g * gk
-                rs = np.clip(k0 - halo, 0, h - qrg)
-                qh = rs + iq // qcw
-                qw = iq % qcw
-                kh = k0 + ik // tk
-                kw = jc * tk + ik % tk
-                wh = _np_window_start(qh, r, h, kk)
-                ww = _np_window_start(qw, r, w, kk)
-                out[jr, jc, g] = ((kh >= wh) & (kh < wh + kk)
-                                  & (kw >= ww) & (kw < ww + kk))
-    return out
-
-
-def _na_packed_dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
-                          mask_ref, dk_ref, dv_ref, *, kernel_size, tk, gk,
-                          h, w, scale, n_heads):
-    """Channel-packed dk/dv over key tiles, grouped by key rows: each group
-    of gk key rows attends only its (gk + 2*(kk-1))-row full-width query
-    slab, sliced in-kernel from the VMEM-resident per-image q/do maps
-    (~1.4x fewer logits than the single 28-row slab at tile 16, and the
-    row-only dynamic slice is the one layout Mosaic handles robustly)."""
-    kk = kernel_size
-    halo, qrg, qcw = _dkv_slab_geometry(h, w, kk, tk, gk)
-    c = q_ref.shape[-1]
-    e = c // n_heads
-    nq, nk = qrg * qcw, gk * tk
-
-    j = pl.program_id(1)
-    lane = jax.lax.broadcasted_iota(jnp.int32, (nq, c), 1)
-
-    for g in range(tk // gk):
-        k0 = j * tk + g * gk
-        rs = jnp.clip(k0 - halo, 0, h - qrg)
-        q2 = q_ref[0, pl.ds(rs, qrg), :, :].reshape(nq, c)
-        do2 = do_ref[0, pl.ds(rs, qrg), :, :].reshape(nq, c)
-        lse2 = lse_ref[0, pl.ds(rs, qrg), :, :].reshape(nq, n_heads)
-        delta2 = delta_ref[0, pl.ds(rs, qrg), :, :].reshape(nq, n_heads)
-        gs = slice(g * gk, (g + 1) * gk)
-        kt = k_ref[0, gs].reshape(nk, c)
-        vt = v_ref[0, gs].reshape(nk, c)
-        mask2 = mask_ref[0, 0, g]
-
-        dk = jnp.zeros((nk, c), jnp.float32)
-        dv = jnp.zeros((nk, c), jnp.float32)
-        for head in range(n_heads):
-            q_h = jnp.where((lane // e) == head, q2, 0).astype(q2.dtype)
-            do_h = jnp.where((lane // e) == head, do2, 0).astype(do2.dtype)
-            s = jax.lax.dot_general(
-                q_h, kt, dimension_numbers=(((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32) * scale  # (nq, nk)
-            p = jnp.where(mask2 != 0,
-                          jnp.exp(s - lse2[:, head:head + 1]), 0.0)
-            p_lp = p.astype(q2.dtype)
-            dv = dv + jax.lax.dot_general(
-                p_lp, do_h, dimension_numbers=(((0,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32)  # (nk, c)
-            dp = jax.lax.dot_general(
-                do_h, vt, dimension_numbers=(((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32)  # (nq, nk)
-            ds = (p * (dp - delta2[:, head:head + 1])).astype(q2.dtype)
-            dk = dk + jax.lax.dot_general(
+            dk_g = dk_g + jax.lax.dot_general(
                 ds, q_h, dimension_numbers=(((0,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32) * scale  # (nk, c)
-        dk_ref[0, gs] = dk.reshape(gk, tk, c).astype(dk_ref.dtype)
-        dv_ref[0, gs] = dv.reshape(gk, tk, c).astype(dv_ref.dtype)
+                preferred_element_type=jnp.float32) * scale  # (gnk, c)
+            dv_g = dv_g + jax.lax.dot_general(
+                p.astype(q.dtype), do_h,
+                dimension_numbers=(((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)          # (gnk, c)
+        dq_ref[0, gs] = dq.reshape(gq, tq, c).astype(dq_ref.dtype)
+        sl = pl.ds(og * krw, gnk)
+        dk_ref[0, 0, 0, sl, :] = (dk_ref[0, 0, 0, sl, :]
+                                  + dk_g.astype(dk_ref.dtype))
+        dv_ref[0, 0, 0, sl, :] = (dv_ref[0, 0, 0, sl, :]
+                                  + dv_g.astype(dv_ref.dtype))
+
+
+def _scatter_halos(halos, h, w, kk, tq):
+    """(n, nrb, ncb, kr*krw, e) per-tile halo partials -> (n, h, w, e) by
+    overlap-add: the exact transpose of _extract_halos (static slices, so
+    XLA lowers to a chain of in-place dynamic-update-slices)."""
+    n, nrb, ncb, nk, e = halos.shape
+    rows, cols = _halo_indices(h, w, kk, tq)
+    kr = rows.shape[1]
+    krw = cols.shape[1]
+    hb = halos.reshape(n, nrb, ncb, kr, krw, e)
+    out = jnp.zeros((n, h, w, e), halos.dtype)
+    for j in range(nrb):
+        rs = int(rows[j][0])
+        for l in range(ncb):
+            cs = int(cols[l][0])
+            out = out.at[:, rs:rs + kr, cs:cs + krw, :].add(hb[:, j, l])
+    return out
 
 
 def _na_packed_bwd(kernel_size, scale, tile, n_heads, res, dout):
     q, k, v, out, lse = res
-    b, h, w, c = q.shape
-    e = c // n_heads
-
-    # per-head delta map for dkv, via the (c, heads) head-indicator matmul
-    # (stays in the packed layout; no (heads, e) split)
-    import numpy as np
-    bdh = jnp.asarray(
-        (np.arange(c)[:, None] // e == np.arange(n_heads)[None, :])
-        .astype(np.float32))
-    delta_map = jnp.einsum(
-        "bhwc,cn->bhwn", dout.astype(jnp.float32) * out.astype(jnp.float32),
-        bdh)  # (b, h, w, heads)
-
-    dq = _na_packed_dq(kernel_size, scale, tile, n_heads, q, k, v, out, lse,
-                       dout)
-    dk, dv = _na_packed_dkv(kernel_size, scale, tile, n_heads, q, k, v, lse,
-                            delta_map, dout)
-    return dq, dk, dv
-
-
-def _na_packed_dq(kernel_size, scale, tile, n_heads, q, k, v, out, lse,
-                  dout):
     b, h, w, c = q.shape
     tq = tile
     gq = GROUP_ROWS if tq % GROUP_ROWS == 0 else tq
@@ -748,46 +673,24 @@ def _na_packed_dq(kernel_size, scale, tile, n_heads, q, k, v, out, lse,
     halo_spec = pl.BlockSpec((1, 1, 1, nk, c), lambda j, l, i: (i, j, l, 0, 0))
     tile_c = pl.BlockSpec((1, tq, tq, c), lambda j, l, i: (i, j, l, 0))
     tile_h = pl.BlockSpec((1, tq, tq, n_heads), lambda j, l, i: (i, j, l, 0))
-    return pl.pallas_call(
-        functools.partial(_na_packed_dq_kernel, kernel_size=kernel_size,
+    halo_out = pl.BlockSpec((1, 1, 1, nk, c), lambda j, l, i: (i, j, l, 0, 0))
+    dq, dk_halo, dv_halo = pl.pallas_call(
+        functools.partial(_na_packed_dqkv_kernel, kernel_size=kernel_size,
                           tq=tq, gq=gq, scale=scale, n_heads=n_heads,
                           h=h, w=w, kr=kr, krw=krw),
         grid=(nrb, ncb, b),
         in_specs=[tile_c, halo_spec, halo_spec, tile_c, tile_c, tile_h,
                   pl.BlockSpec((1, 1, ng, gnq, gnk),
                                lambda j, l, i: (j, l, 0, 0, 0))],
-        out_specs=tile_c,
-        out_shape=jax.ShapeDtypeStruct(q.shape, q.dtype),
-    )(q, k_halo, v_halo, dout, out, lse, fwd_masks)
-
-
-def _na_packed_dkv(kernel_size, scale, tile, n_heads, q, k, v, lse,
-                   delta_map, dout):
-    b, h, w, c = q.shape
-    tq = tile
-    nrb, ncb = h // tq, w // tq
-    # key-row groups of 8 keep the (nq, gk*tk) mask / logit lane dim at a
-    # full 128 lanes (gk=4 -> 64 lanes crashes the Mosaic compiler)
-    gk = 8 if tq % 8 == 0 else tq
-    dkv_masks = jnp.asarray(_dkv_masks_grouped(h, w, kernel_size, tq, gk))
-    ng2, nq2, nk2 = dkv_masks.shape[2], dkv_masks.shape[3], dkv_masks.shape[4]
-    full_c = pl.BlockSpec((1, h, w, c), lambda i, j, l: (i, 0, 0, 0))
-    full_h = pl.BlockSpec((1, h, w, n_heads), lambda i, j, l: (i, 0, 0, 0))
-    tile_kv = pl.BlockSpec((1, tq, tq, c), lambda i, j, l: (i, j, l, 0))
-    dk, dv = pl.pallas_call(
-        functools.partial(_na_packed_dkv_kernel, kernel_size=kernel_size,
-                          tk=tq, gk=gk, h=h, w=w, scale=scale,
-                          n_heads=n_heads),
-        grid=(b, nrb, ncb),
-        in_specs=[full_c, tile_kv, tile_kv, full_c, full_h, full_h,
-                  pl.BlockSpec((1, 1, ng2, nq2, nk2),
-                               lambda i, j, l: (j, l, 0, 0, 0))],
-        out_specs=[tile_kv, tile_kv],
-        out_shape=[jax.ShapeDtypeStruct(k.shape, k.dtype),
-                   jax.ShapeDtypeStruct(v.shape, v.dtype)],
+        out_specs=[tile_c, halo_out, halo_out],
+        out_shape=[jax.ShapeDtypeStruct(q.shape, q.dtype),
+                   jax.ShapeDtypeStruct((b, nrb, ncb, nk, c), q.dtype),
+                   jax.ShapeDtypeStruct((b, nrb, ncb, nk, c), q.dtype)],
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=64 * 2**20),
-    )(q, k, v, dout, lse, delta_map, dkv_masks)
-    return dk, dv
+    )(q, k_halo, v_halo, dout, out, lse, fwd_masks)
+    dk = _scatter_halos(dk_halo, h, w, kernel_size, tq)
+    dv = _scatter_halos(dv_halo, h, w, kernel_size, tq)
+    return dq, dk, dv
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6))
