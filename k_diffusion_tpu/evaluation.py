@@ -49,12 +49,17 @@ class InceptionV3FlaxExtractor:
                                         Path.home() / ".cache"))
             path = Path(path) if path else (
                 cache / "k-diffusion" / "inception-2015-12-05.pt")
+            if not path.exists() and path.with_suffix(".npz").exists():
+                # scripts/convert_inception_weights.py output (torch-free)
+                path = path.with_suffix(".npz")
             if not path.exists():
                 raise RuntimeError(
-                    f"Inception weights not found at {path}; no network "
-                    "egress to download them (reference URL: "
+                    f"Inception weights not found at {path} (or .npz); no "
+                    "network egress to download them — fetch "
                     "nvlabs-fi-cdn.nvidia.com/stylegan2-ada-pytorch/"
-                    "pretrained/metrics/inception-2015-12-05.pt)")
+                    "pretrained/metrics/inception-2015-12-05.pt elsewhere "
+                    "and drop it (or its scripts/convert_inception_weights"
+                    ".py .npz export) at that path")
             if str(path).endswith(".npz"):
                 params = inception_v3.load_npz_params(path)
             else:
@@ -118,9 +123,12 @@ class CLIPFeatureExtractor:
 
     name = "clip"
 
-    def __init__(self, model_name="openai/clip-vit-base-patch16"):
-        from transformers import FlaxCLIPModel
-        self.model = FlaxCLIPModel.from_pretrained(model_name, local_files_only=True)
+    def __init__(self, model_name="openai/clip-vit-base-patch16", model=None):
+        if model is None:
+            from transformers import FlaxCLIPModel
+            model = FlaxCLIPModel.from_pretrained(model_name,
+                                                  local_files_only=True)
+        self.model = model  # injectable for tests (tiny config-built CLIP)
         self.size = self.model.config.vision_config.image_size
         self.mean = jnp.asarray([0.48145466, 0.4578275, 0.40821073])
         self.std = jnp.asarray([0.26862954, 0.26130258, 0.27577711])
@@ -148,11 +156,14 @@ class DINOv2FeatureExtractor:
 
     name = "dinov2"
 
-    def __init__(self, model_name="facebook/dinov2-large"):
+    def __init__(self, model_name="facebook/dinov2-large", model=None):
         import torch
-        from transformers import Dinov2Model
         self.torch = torch
-        self.model = Dinov2Model.from_pretrained(model_name, local_files_only=True).eval()
+        if model is None:
+            from transformers import Dinov2Model
+            model = Dinov2Model.from_pretrained(
+                model_name, local_files_only=True)
+        self.model = model.eval()  # injectable for tests
         self.size = 224
         self.mean = np.asarray([0.485, 0.456, 0.406], np.float32)
         self.std = np.asarray([0.229, 0.224, 0.225], np.float32)

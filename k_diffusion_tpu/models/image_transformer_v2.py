@@ -143,7 +143,9 @@ class SelfAttentionBlock(nn.Module):
             # norm -> qkv matmul -> cosine-sim -> RoPE as one Pallas kernel
             # producing channel-packed maps (falls back to the identical XLA
             # chain off-TPU / under force_xla). Train-eligible: its
-            # custom_vjp backward recomputes through the XLA composition.
+            # custom_vjp backward runs the residual-saving Pallas
+            # prologue-backward kernel (fused_qkv._prologue_bwd_pallas);
+            # recompute-through-XLA is only the off-TPU fallback.
             from ..ops.pallas import fused_qkv_prologue
             qp, kp, vp = fused_qkv_prologue(
                 x, pos, norm_scale, w_qkv, scale, n_heads)

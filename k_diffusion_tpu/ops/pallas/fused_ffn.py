@@ -49,7 +49,13 @@ def _ffn_kernel(x_ref, scale_ref, w_up_ref, w_down_ref, o_ref, *res_refs,
     up = jax.lax.dot_general(
         xn, w_up_ref[...], dimension_numbers=(((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32)  # (T, 2f)
-    if res_refs:  # training: save the GEGLU input for the backward
+    if res_refs:
+        # training: save the GEGLU input for the backward. NOTE: saved
+        # rounded to x.dtype (bf16) while the forward computes GELU from
+        # the f32 up-projection, so the backward's recomputed activations
+        # carry one extra bf16 rounding vs the forward (tested within
+        # 2e-2). Saving f32 would double this residual's HBM cost; revisit
+        # only if gradient fidelity ever outweighs the bandwidth.
         res_refs[0][0] = up.astype(res_refs[0].dtype)
     a = up[:, :d_ff]
     gate = up[:, d_ff:]

@@ -69,17 +69,12 @@ def _halo_geometry(h, w, kk, tq):
 
 
 @functools.lru_cache
-def _halo_indices(h, w, kk, tq, radius=None):
-    """Static (nrb, kr) row and (ncb, krw) col gather indices per tile.
-    ``radius`` defaults to the window radius (forward kv halos); the dkv
-    backward passes radius=kk-1 (the farthest a clamped window can reach)."""
+def _halo_indices(h, w, kk, tq):
+    """Static (nrb, kr) row and (ncb, krw) col gather indices per tile, at
+    the forward window-radius halo (every caller, incl. the dkv backward,
+    uses it: clamped windows never reach outside the forward halo)."""
     import numpy as np
-    if radius is None:
-        r, kr, krw = _halo_geometry(h, w, kk, tq)
-    else:
-        r = radius
-        kr = min(tq + 2 * radius, h)
-        krw = min(_round_up(tq + 2 * radius, 8), w)
+    r, kr, krw = _halo_geometry(h, w, kk, tq)
     nrb, ncb = h // tq, w // tq
     rows = np.zeros((nrb, kr), np.int32)
     cols = np.zeros((ncb, krw), np.int32)
@@ -92,7 +87,7 @@ def _halo_indices(h, w, kk, tq, radius=None):
     return rows, cols
 
 
-def _extract_halos(x, kk, tq, radius=None):
+def _extract_halos(x, kk, tq):
     """(n, h, w, e) -> (n, nrb, ncb, kr*krw, e): per-tile halo windows.
 
     Built from STATIC slices + stack (tile offsets are compile-time
@@ -102,7 +97,7 @@ def _extract_halos(x, kk, tq, radius=None):
     flatten is layout-trivial because krw is padded to a multiple of 8
     (see _halo_geometry)."""
     n, h, w, e = x.shape
-    rows, cols = _halo_indices(h, w, kk, tq, radius)
+    rows, cols = _halo_indices(h, w, kk, tq)
     nrb, kr = rows.shape
     ncb, krw = cols.shape
     tiles = []
@@ -505,6 +500,13 @@ def _na_packed_fwd_kernel(q_ref, k_ref, v_ref, mask_ref, o_ref, *res_refs,
             p = jnp.exp(s) * mask
             l = jnp.sum(p, axis=1, keepdims=True)
             if res_refs:
+                # saved WITHOUT a running-max subtraction: the backward
+                # recomputes p = exp(s - lse), which is only finite while
+                # |logits| stays moderate (~<80). The learned per-head
+                # cosine-sim scale is what bounds s here (QK norm clamps the
+                # dot product to [-1, 1] x scale, itv2 scale init 10) — this
+                # bounded-logit assumption is load-bearing for TRAINING
+                # gradients, not just inference.
                 lses.append(jnp.log(l))
             v_h = jnp.where((lane_k // e) == head, vs, 0).astype(vs.dtype)
             # normalize on the (gnq, c) output instead of the (gnq, gnk)

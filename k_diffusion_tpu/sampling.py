@@ -793,6 +793,23 @@ def sample_dpmpp_3m_sde(model, x, sigmas, extra_args=None, callback=None, key=No
     return x
 
 
+def call_sampler(name, model, x, sigmas, extra_args=None, key=None, **kwargs):
+    """Dispatch a fixed-step sampler by short name (``'euler'`` ->
+    ``sample_euler``), passing ``key`` only when the sampler's SIGNATURE
+    takes one (deterministic samplers like lms/dpmpp_2m don't). Dispatching
+    on ``inspect.signature`` — never via try/except TypeError, which would
+    swallow a genuine TypeError raised inside the sampler and silently
+    retry it without a key (reference sample.py:58-61 only ever calls
+    sample_lms; this is our multi-sampler CLI's dispatcher)."""
+    import inspect
+    fn = globals().get(f"sample_{name}")
+    if fn is None:
+        raise ValueError(f"unknown sampler '{name}'")
+    if "key" in inspect.signature(fn).parameters and key is not None:
+        kwargs["key"] = key
+    return fn(model, x, sigmas, extra_args=extra_args, **kwargs)
+
+
 def __getattr__(name):
     # the reference exposes log_likelihood from sampling (sampling.py:280);
     # ours lives in ode.py (lazy import avoids the circular dependency)

@@ -79,7 +79,7 @@ def _global_sq_norm(tree):
 def make_train_step(model, denoiser_factory, sample_density, optimizer, *,
                     num_classes=0, cond_dropout_rate=0.0, stratified=True,
                     compute_gns=False, has_mapping_cond=False, apply_fn=None,
-                    mesh=None, data_axis="data"):
+                    mesh=None, data_axis="data", watch_labels=None):
     """Returns ``step(state, batch, key, ema_decay) -> (state, metrics)``,
     jitted with the state donated (in-place on-device update).
 
@@ -212,6 +212,18 @@ def make_train_step(model, denoiser_factory, sample_density, optimizer, *,
         if compute_gns:
             metrics["grad_sq_norm_small"] = sqn_small / a_steps
             metrics["grad_sq_norm_big"] = _global_sq_norm(grads)
+        if watch_labels is not None:
+            # wandb.watch analog (reference train.py:253-254): per-group
+            # param/grad norm summaries, computed on device and logged at the
+            # wandb cadence by the caller
+            label_leaves = jax.tree_util.tree_leaves(watch_labels)
+            param_leaves = jax.tree_util.tree_leaves(state.params)
+            grad_leaves = jax.tree_util.tree_leaves(grads)
+            for name in sorted(set(label_leaves)):
+                ps = [p for l, p in zip(label_leaves, param_leaves) if l == name]
+                gs = [g for l, g in zip(label_leaves, grad_leaves) if l == name]
+                metrics[f"param_norm/{name}"] = jnp.sqrt(_global_sq_norm(ps))
+                metrics[f"grad_norm/{name}"] = jnp.sqrt(_global_sq_norm(gs))
 
         updates, opt_state = optimizer.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)

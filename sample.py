@@ -69,14 +69,8 @@ def main():
             # sample.py predates class-conditional checkpoints)
             extra["class_cond"] = jax.random.randint(
                 k_cls, [args.batch_size], 0, num_classes)
-        if args.sampler == "lms":
-            x_0 = K.sampling.sample_lms(denoiser, x, sigmas, extra_args=extra)
-        else:
-            sampler = getattr(K.sampling, f"sample_{args.sampler}")
-            try:
-                x_0 = sampler(denoiser, x, sigmas, extra_args=extra, key=k_samp)
-            except TypeError:
-                x_0 = sampler(denoiser, x, sigmas, extra_args=extra)
+        x_0 = K.sampling.call_sampler(
+            args.sampler, denoiser, x, sigmas, extra_args=extra, key=k_samp)
         return x_0[:n]
 
     x_0 = K.evaluation.compute_features(sample_fn, lambda x: x, args.n,

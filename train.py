@@ -244,6 +244,11 @@ def main():
         state, host = checkpoint.load_checkpoint(ckpt_path, state)
         host["config"] = config  # current run's config wins (as in reference)
         ema_sched.load_state_dict(host["ema_sched"])
+        # restore the data order: each epoch's shuffle is derived from
+        # DataLoader.epoch, which would otherwise restart at 0 and replay
+        # epoch-0 batches after a resume (reference train.py:269-293 restores
+        # the sampler epoch the same way)
+        train_dl.epoch = host["epoch"]
         if args.gns and host.get("gns_stats"):
             gns_stats.load_state_dict(host["gns_stats"])
     if args.reset_ema:
@@ -270,7 +275,8 @@ def main():
         num_classes=num_classes, cond_dropout_rate=cond_dropout_rate,
         stratified=not args.gns, compute_gns=args.gns, apply_fn=apply_fn,
         mesh=mesh if dp_size > 1 else None,
-        data_axis=parallel.DATA_AXIS)
+        data_axis=parallel.DATA_AXIS,
+        watch_labels=labels if use_wandb else None)
 
     # demo sampling (reference train.py:331-369)
     def make_cfg_model_fn(den, cfg_scale=1.0):
@@ -358,7 +364,12 @@ def main():
             extractor = evaluation.make_extractor(args.evaluate_with, **kw)
         except Exception as e:
             if is_main:
-                print(f"Evaluation disabled (feature extractor unavailable: {e})")
+                # loud failure: print the full traceback so a typo in an
+                # extractor path doesn't silently ship a run with no FID
+                import traceback
+                traceback.print_exc()
+                print(f"Evaluation disabled (feature extractor unavailable: {e})",
+                      flush=True)
             evaluate_enabled = False
     reals_features = None
     if evaluate_enabled:
@@ -448,6 +459,13 @@ def main():
     step = host["step"]
     epoch = host["epoch"]
     losses_since_last_print = []
+    gns_pending = []
+
+    def drain_gns():
+        for sqn_small, sqn_big in gns_pending:
+            gns_stats.update(float(sqn_small), float(sqn_big),
+                             gns_n_small, args.batch_size * accum)
+        gns_pending.clear()
     accum = args.grad_accum_steps
     lr_sched = config_mod.make_lr_schedule(config)
     spec_batch = jax.sharding.PartitionSpec(None, parallel.DATA_AXIS)
@@ -492,10 +510,13 @@ def main():
                 losses_since_last_print.append((metrics["loss"], ema_decay))
                 ema_sched.step()
                 if args.gns:
-                    gns_stats.update(
-                        float(metrics["grad_sq_norm_small"]),
-                        float(metrics["grad_sq_norm_big"]),
-                        gns_n_small, args.batch_size * accum)
+                    # keep the sq-norms as device scalars; the estimator
+                    # update is folded into the 25-step sync cadence below so
+                    # --gns doesn't force a per-step host round-trip
+                    # (the reference's DDP hook is async by construction,
+                    # reference gns.py:5-34)
+                    gns_pending.append((metrics["grad_sq_norm_small"],
+                                        metrics["grad_sq_norm_big"]))
                 host["elapsed"] += time.time() - t0
 
                 if step % 25 == 0 or use_wandb:
@@ -506,6 +527,7 @@ def main():
                     loss_vals = [float(l) for l, _ in losses_since_last_print]
                     loss = loss_vals[-1]
                     losses_since_last_print.clear()
+                    drain_gns()
                 if step % 25 == 0 and is_main:
                     loss_disp = sum(loss_vals) / len(loss_vals)
                     avg_loss = host["ema_stats"]["loss"]
@@ -518,6 +540,9 @@ def main():
                                 "lr": float(lr_sched(step)), "ema_decay": ema_decay}
                     if args.gns:
                         log_dict["gradient_noise_scale"] = gns_stats.get_gns()
+                    # wandb.watch analog (reference train.py:253-254)
+                    log_dict.update({k: float(v) for k, v in metrics.items()
+                                     if k.startswith(("param_norm/", "grad_norm/"))})
                     wandb.log(log_dict, step=step)
 
                 step += 1
@@ -527,6 +552,8 @@ def main():
                 if evaluate_enabled and step > 0 and step % args.evaluate_every == 0:
                     evaluate(step)
                 if step == args.end_step or (step > 0 and step % args.save_every == 0):
+                    if args.gns:
+                        drain_gns()  # checkpoint the estimator fully up to date
                     save(step)
                 if step == args.end_step:
                     if is_main:
