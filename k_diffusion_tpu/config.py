@@ -134,11 +134,13 @@ def load_config(path_or_dict):
     return deep_merge(_DEFAULTS, config)
 
 
-def make_model(config, dtype=None, checkpointing=False, remat_policy=None):
+def make_model(config, dtype=None, checkpointing=False, remat_policy=None,
+               remat_levels=None):
     """Builds the flax model from a config (reference config.py:149-213).
 
     ``remat_policy``: optional jax.checkpoint_policies name applied when
-    ``checkpointing`` (image_transformer_v2 only)."""
+    ``checkpointing``; ``remat_levels``: optional tuple of hourglass level
+    indices to remat (default all; image_transformer_v2 only)."""
     import jax.numpy as jnp
 
     dataset_config = config["dataset"]
@@ -218,6 +220,7 @@ def make_model(config, dtype=None, checkpointing=False, remat_policy=None):
             mapping_cond_dim=config["mapping_cond_dim"],
             checkpointing=checkpointing,
             remat_policy=remat_policy,
+            remat_levels=remat_levels,
             dtype=dtype,
         )
     raise ValueError(f'unsupported model type {config["type"]}')

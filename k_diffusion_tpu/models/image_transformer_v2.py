@@ -204,9 +204,10 @@ class SelfAttentionBlock(nn.Module):
                 # (na2d_packed_proj) measured ~2-3% SLOWER end-to-end — XLA
                 # already fuses out_proj with the residual and adjacent
                 # elementwise work — so it is not used.
-                from ..ops.pallas.na2d import na2d_packed
+                from ..ops.pallas.na2d import na2d_packed, preferred_tile
                 x = na2d_packed(qp, kp, vp, n_heads,
-                                self.attn_spec.kernel_size, scale=1.0)
+                                self.attn_spec.kernel_size, scale=1.0,
+                                tile=preferred_tile(h, w, not deterministic))
             else:
                 # unfused prologue (KDT_TRAIN_FUSION=0): per-head kernel
                 from ..ops.pallas import na2d
@@ -502,6 +503,14 @@ class ImageTransformerDenoiserModelV2(nn.Module):
     # 'dots_with_no_batch_dims_saveable'): save the flagged intermediates
     # instead of rematerializing everything, cutting the remat backward tax
     remat_policy: Any = None
+    # which hourglass levels to remat when checkpointing (None = all).
+    # E.g. (0,) remats only the wide high-resolution level — it holds most
+    # of the activation memory (4x the tokens of the next level at 1/2 the
+    # width = 2x the bytes/layer) while its layers are a minority of the
+    # model FLOPs, so the remat tax shrinks to the recompute of just those
+    # layers. The low-token global level's activations are cheap to save.
+    # (reference checkpoints every block, image_transformer_v2.py:44-49)
+    remat_levels: Any = None
     tp_axis: Any = None  # mesh axis name for tensor parallelism (or None)
     dtype: Any = jnp.float32
 
@@ -566,11 +575,15 @@ class ImageTransformerDenoiserModelV2(nn.Module):
             layer_cls = nn.remat(TransformerLayer, static_argnums=(4,),
                                  policy=policy)
 
-        def make_level(spec, prefix, offset=0):
+        def make_level(spec, prefix, level_idx, offset=0):
+            cls = layer_cls
+            if self.checkpointing and self.remat_levels is not None \
+                    and level_idx not in tuple(self.remat_levels):
+                cls = TransformerLayer
             def run(x, pos):
                 for i in range(spec.depth):
                     shifted = (i + offset) % 2 == 1
-                    x = layer_cls(
+                    x = cls(
                         spec.width, spec.d_ff, spec.self_attn,
                         dropout=spec.dropout, shifted=shifted,
                         tp_axis=self.tp_axis, dtype=self.dtype,
@@ -581,18 +594,18 @@ class ImageTransformerDenoiserModelV2(nn.Module):
         # Hourglass: down levels -> merges, mid, splits -> up levels
         skips, poses = [], []
         for i, spec in enumerate(self.levels[:-1]):
-            x = make_level(spec, f"down_{i}")(x, pos)
+            x = make_level(spec, f"down_{i}", i)(x, pos)
             skips.append(x)
             poses.append(pos)
             x = TokenMerge(self.levels[i + 1].width, dtype=self.dtype,
                            name=f"merge_{i}")(x)
             pos = ops.downscale_pos(pos)
 
-        x = make_level(self.levels[-1], "mid")(x, pos)
+        x = make_level(self.levels[-1], "mid", len(self.levels) - 1)(x, pos)
 
         for i, spec in reversed(list(enumerate(self.levels[:-1]))):
             x = TokenSplit(spec.width, dtype=self.dtype, name=f"split_{i}")(x, skips[i])
-            x = make_level(spec, f"up_{i}", offset=spec.depth)(x, poses[i])
+            x = make_level(spec, f"up_{i}", i, offset=spec.depth)(x, poses[i])
 
         # Unpatching
         x = RMSNorm(name="out_norm")(x)

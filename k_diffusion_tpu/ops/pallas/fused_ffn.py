@@ -59,16 +59,10 @@ def _ffn_kernel(x_ref, scale_ref, w_up_ref, w_down_ref, o_ref, *res_refs,
         res_refs[0][0] = up.astype(res_refs[0].dtype)
     a = up[:, :d_ff]
     gate = up[:, d_ff:]
-    # erf-gelu; Mosaic has no erf primitive, so use the Abramowitz-Stegun
-    # 7.1.26 rational approximation (max abs error 1.5e-7, far below bf16)
-    z = gate * (2.0 ** -0.5)
-    az = jnp.abs(z)
-    tt = 1.0 / (1.0 + 0.3275911 * az)
-    poly = tt * (0.254829592 + tt * (-0.284496736 + tt * (
-        1.421413741 + tt * (-1.453152027 + tt * 1.061405429))))
-    erf_abs = 1.0 - poly * jnp.exp(-az * az)
-    erf = jnp.sign(z) * erf_abs
-    gelu = 0.5 * gate * (1.0 + erf)
+    # erf-gelu via the clamped polynomial (erf_poly.py): no divide/exp on
+    # the VPU — the GEGLU chain, not the matmuls, bounds these kernels
+    from .erf_poly import gelu_poly
+    gelu = gelu_poly(gate)
     h = (a * gelu).astype(x.dtype)
     out = jax.lax.dot_general(
         h, w_down_ref[...], dimension_numbers=(((1,), (0,)), ((), ())),
@@ -154,23 +148,17 @@ def _ffn_bwd_kernel(x_ref, scale_ref, w_up_ref, w_down_ref, up_ref, g_ref,
 
     a = up[:, :d_ff].astype(jnp.float32)
     gate = up[:, d_ff:].astype(jnp.float32)
-    # erf-gelu fwd + bwd: gelu(g) = g * Phi(g); gelu'(g) = Phi(g) + g*phi(g)
-    z = gate * (2.0 ** -0.5)
-    az = jnp.abs(z)
-    tt = 1.0 / (1.0 + 0.3275911 * az)
-    poly = tt * (0.254829592 + tt * (-0.284496736 + tt * (
-        1.421413741 + tt * (-1.453152027 + tt * 1.061405429))))
-    erf = jnp.sign(z) * (1.0 - poly * jnp.exp(-az * az))
-    Phi = 0.5 * (1.0 + erf)
-    phi = jnp.exp(-0.5 * gate * gate) * (2.0 * jnp.pi) ** -0.5
-    gelu = gate * Phi
+    # erf-gelu fwd + bwd via the clamped polynomials (erf_poly.py):
+    # gelu(g) = g * Phi(g); gelu'(g) = Phi(g) + g*phi(g)
+    from .erf_poly import gelu_and_grad_poly
+    gelu, dgelu = gelu_and_grad_poly(gate)
     h = (a * gelu).astype(x.dtype)
 
     dh = jax.lax.dot_general(
         g, w_down_ref[...], dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32)          # (T, f)
     da = dh * gelu
-    dgate = dh * a * (Phi + gate * phi)
+    dgate = dh * a * dgelu
     dup = jnp.concatenate([da, dgate], axis=1).astype(x.dtype)  # (T, 2f)
 
     first = (i == 0) & (j == 0)

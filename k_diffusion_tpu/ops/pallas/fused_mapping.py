@@ -19,15 +19,10 @@ from jax.experimental import pallas as pl
 
 
 def _gelu_erf(gate):
-    """erf-gelu via the Abramowitz-Stegun 7.1.26 polynomial (Mosaic has no
-    erf primitive); max abs error 1.5e-7."""
-    z = gate * (2.0 ** -0.5)
-    az = jnp.abs(z)
-    tt = 1.0 / (1.0 + 0.3275911 * az)
-    poly = tt * (0.254829592 + tt * (-0.284496736 + tt * (
-        1.421413741 + tt * (-1.453152027 + tt * 1.061405429))))
-    erf = jnp.sign(z) * (1.0 - poly * jnp.exp(-az * az))
-    return 0.5 * gate * (1.0 + erf)
+    """erf-gelu via the clamped polynomial (erf_poly.py): no divide/exp on
+    the VPU; max abs error 7.3e-5, far below bf16 resolution."""
+    from .erf_poly import gelu_poly
+    return gelu_poly(gate)
 
 
 def _mapping_kernel(*refs, n_blocks, d_ff, eps, compute_dtype):

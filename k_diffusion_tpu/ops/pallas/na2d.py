@@ -388,8 +388,11 @@ def _use_pallas(h, w, kernel_size, tile):
     from . import xla_forced
     if jax.default_backend() != "tpu" or xla_forced():
         return False
-    kr = tile + kernel_size - 1
-    return (h >= kr and w >= kr and h % tile == 0 and w % tile == 0
+    # halo geometry clamps to the map, so a tile as large as the whole map
+    # is fine; only sub-map tiles need room for their full halo
+    kr = min(tile + kernel_size - 1, h)
+    krw = min(tile + kernel_size - 1, w)
+    return (h >= kr and w >= krw and h % tile == 0 and w % tile == 0
             and w % 8 == 0 and kernel_size % 2 == 1)
 
 
@@ -422,15 +425,25 @@ def na2d(q, k, v, kernel_size, scale=1.0, tile=DEFAULT_TILE):
 # transposes at the head counts diffusion models use (2-8).
 
 
-# Row-group blocking: a 16x16 query tile's halo holds kr x krw = 22x24 keys
-# but each query's window covers only 7x7 — most of the (256, 528) logit
-# block is masked waste (the kernels run at ~50% MXU on what they compute,
-# so overcompute is the whole cost). Processing GQ query rows at a time
-# against just their (GQ + k - 1)-row slab of the halo cuts the computed
-# logits ~2.2x (gq=4, k=7: 4 groups x (64, 240) vs (256, 528)) while the
-# flat slab slice stays layout-trivial (row offsets are multiples of krw,
-# and krw % 8 == 0).
+# Query-group blocking: a 16x16 query tile's halo holds kr x krw = 22x24
+# keys but each query's window covers only 7x7 — most of a whole-tile
+# (256, 528) logit block is masked waste (the kernels run at ~50% MXU on
+# what they compute, so overcompute is the whole cost). Queries are
+# processed in GQ x GC spatial groups, each scored against only its own
+# (GQ + k - 1) x roundup8(GC + k - 1) key slab: at gq=4, gc=8, k=7 that is
+# 8 groups x (32, 160) logits per tile vs (256, 528) — 3.3x fewer computed
+# logits. Slab slices stay layout-trivial: column groups are materialized
+# contiguously by _extract_halos_cg (static slices), and the row offset
+# into a group's flat slab is a dynamic-sublane slice at a multiple of the
+# (8-aligned) slab width.
+#
+# MEASURED (r3, level-0 shape b=8 64x64 c=128): the kernels are DMA/
+# overhead-bound, not MXU-bound — finer groups compute fewer logits but
+# run SLOWER (gq4/gc8: 184 us, gq2/gc8: 266 us vs gq4/gc16: 108 us), so
+# the default keeps whole-width column groups; the wins instead come from
+# the bf16 edge-class-deduped mask tables and channel-block grid below.
 GROUP_ROWS = 4
+GROUP_COLS = 16
 
 
 def _fwd_group_geometry(h, kk, tq, gq):
@@ -438,121 +451,223 @@ def _fwd_group_geometry(h, kk, tq, gq):
     return min(gq + kk - 1, h)
 
 
+def _halo_geometry_cg(h, w, kk, tq, gq, gc):
+    """Static geometry of the column-grouped halo slabs."""
+    r = (kk - 1) // 2
+    kr = min(tq + kk - 1, h)                       # rows in a tile's halo
+    krw = min(_round_up(gc + kk - 1, 8), w)        # cols in a group's slab
+    kg = _fwd_group_geometry(h, kk, tq, gq)        # rows in a group's slab
+    ng, ngc = tq // gq, tq // gc
+    return r, kr, krw, kg, ng, ngc
+
+
 @functools.lru_cache
-def _fwd_masks_grouped(h, w, kk, tq, gq):
-    """f32 (nrb, ncb, ngroups, gq*tq, kg*krw) mask tables for the grouped
-    forward/dq kernels, host-precomputed (pure function of tile position)."""
+def _halo_indices_cg(h, w, kk, tq, gq, gc):
+    """Static row starts per tile-row and col starts per (tile-col, group)."""
     import numpy as np
-    r, kr, krw = _halo_geometry(h, w, kk, tq)
-    kg = _fwd_group_geometry(h, kk, tq, gq)
+    r, kr, krw, kg, ng, ngc = _halo_geometry_cg(h, w, kk, tq, gq, gc)
     nrb, ncb = h // tq, w // tq
-    ng = tq // gq
-    gnq, gnk = gq * tq, kg * krw
-    out = np.zeros((nrb, ncb, ng, gnq, gnk), np.float32)
+    rows = np.asarray([int(np.clip(j * tq - r, 0, h - kr))
+                       for j in range(nrb)], np.int32)
+    cols = np.asarray([[int(np.clip(l * tq + cg * gc - r, 0, w - krw))
+                        for cg in range(ngc)] for l in range(ncb)], np.int32)
+    return rows, cols
+
+
+def _extract_halos_cg(x, kk, tq, gq, gc):
+    """(n, h, w, e) -> (n, nrb, ncb, ngc*kr*krw, e): per-(tile, col-group)
+    halo slabs, stored contiguously per column group so the kernel's
+    row-group slice [cg*kr*krw + og*krw : + kg*krw] is a flat sublane
+    slice. Built from STATIC slices (see _extract_halos on why)."""
+    n, h, w, e = x.shape
+    r, kr, krw, kg, ng, ngc = _halo_geometry_cg(h, w, kk, tq, gq, gc)
+    rows, cols = _halo_indices_cg(h, w, kk, tq, gq, gc)
+    nrb, ncb = h // tq, w // tq
+    tiles = []
+    for j in range(nrb):
+        rs = int(rows[j])
+        for l in range(ncb):
+            for cg in range(ngc):
+                cs = int(cols[l][cg])
+                tiles.append(jax.lax.slice(
+                    x, (0, rs, cs, 0), (n, rs + kr, cs + krw, e)))
+    halos = jnp.stack(tiles, axis=1)       # (n, nrb*ncb*ngc, kr, krw, e)
+    return halos.reshape(n, nrb, ncb, ngc * kr * krw, e)
+
+
+@functools.lru_cache
+def _fwd_masks_grouped(h, w, kk, tq, gq, gc):
+    """f32 (nrb, ncb, ng*ngc, gq*gc, kg*krw) mask tables for the grouped
+    forward/backward kernels, host-precomputed (pure function of tile
+    position). Group index is g * ngc + cg (row groups major)."""
+    import numpy as np
+    r, kr, krw, kg, ng, ngc = _halo_geometry_cg(h, w, kk, tq, gq, gc)
+    rows, cols = _halo_indices_cg(h, w, kk, tq, gq, gc)
+    nrb, ncb = h // tq, w // tq
+    gnq, gnk = gq * gc, kg * krw
+    out = np.zeros((nrb, ncb, ng * ngc, gnq, gnk), np.float32)
     iq = np.arange(gnq)[:, None]
     ik = np.arange(gnk)[None, :]
     for jr in range(nrb):
-        rs = np.clip(jr * tq - r, 0, h - kr)
+        rs = rows[jr]
         for jc in range(ncb):
-            cs = np.clip(jc * tq - r, 0, w - krw)
             for g in range(ng):
                 y0 = jr * tq + g * gq
                 og = np.clip(np.clip(y0 - r, 0, h - kk) - rs, 0, kr - kg)
-                qh = y0 + iq // tq
-                qw = jc * tq + iq % tq
-                kh = rs + og + ik // krw
-                kw = cs + ik % krw
-                wh = _np_window_start(qh, r, h, kk)
-                ww = _np_window_start(qw, r, w, kk)
-                out[jr, jc, g] = ((kh >= wh) & (kh < wh + kk)
-                                  & (kw >= ww) & (kw < ww + kk)
-                                  & (kh < h) & (kw < w))
+                for cg in range(ngc):
+                    cs = cols[jc][cg]
+                    qh = y0 + iq // gc
+                    qw = jc * tq + cg * gc + iq % gc
+                    kh = rs + og + ik // krw
+                    kw = cs + ik % krw
+                    wh = _np_window_start(qh, r, h, kk)
+                    ww = _np_window_start(qw, r, w, kk)
+                    out[jr, jc, g * ngc + cg] = (
+                        (kh >= wh) & (kh < wh + kk)
+                        & (kw >= ww) & (kw < ww + kk)
+                        & (kh < h) & (kw < w))
     return out
 
 
+# The mask depends on the tile position only through edge clamping, so all
+# INTERIOR tiles share one pattern: the full (nrb, ncb, ...) table dedupes
+# to a (3, 3, ...) edge-class table ({first, interior, last} per axis)
+# indexed by the BlockSpec index map — an O(1)-in-map-size mask DMA
+# footprint instead of O(tiles) (at 128x128 maps: 9 patterns vs 64).
+# Stored bf16 (exact for 0/1): half the mask traffic of f32.
+
+
+def _mask_table(h, w, kk, tq, gq, gc):
+    """jnp bf16 (3, 3, ng*ngc, gnq, gnk) edge-class mask table."""
+    import numpy as np
+    full = _fwd_masks_grouped(h, w, kk, tq, gq, gc)
+    nrb, ncb = h // tq, w // tq
+    row_reps = [0, 1 if nrb > 2 else 0, nrb - 1]
+    col_reps = [0, 1 if ncb > 2 else 0, ncb - 1]
+    return jnp.asarray(full[np.ix_(row_reps, col_reps)], jnp.bfloat16)
+
+
+def _mask_index_map(nrb, ncb):
+    """BlockSpec index map (j, l, cb, i) -> edge-class mask block index."""
+    def index_map(j, l, cb, i):
+        jr = jnp.where(j == 0, 0, jnp.where(j == nrb - 1, 2, 1))
+        jc = jnp.where(l == 0, 0, jnp.where(l == ncb - 1, 2, 1))
+        return (jr, jc, 0, 0, 0)
+    return index_map
+
+
+def _packed_geometry(c, e):
+    """Channel-block geometry: the grid's channel dim splits c into
+    cblk-lane blocks of hb heads each, so per-head matmul depth is cblk
+    (128 for e <= 128) instead of c — at level-1 widths (c=256, 4 heads)
+    this HALVES the head-masked contraction's computed MACs."""
+    cblk = e if e >= 128 else 128
+    return c // cblk, cblk, cblk // e
+
+
 def _na_packed_fwd_kernel(q_ref, k_ref, v_ref, mask_ref, o_ref, *res_refs,
-                          kernel_size, tq, gq, h, w, scale, n_heads, kr, krw):
-    c = q_ref.shape[-1]
-    e = c // n_heads
+                          kernel_size, tq, gq, gc, h, w, scale, e):
+    cblk = q_ref.shape[-1]
+    hb = cblk // e
     kk = kernel_size
-    r = (kk - 1) // 2
-    kg = _fwd_group_geometry(h, kk, tq, gq)
-    gnq, gnk = gq * tq, kg * krw
+    r, kr, krw, kg, ng, ngc = _halo_geometry_cg(h, w, kk, tq, gq, gc)
+    gnq, gnk = gq * gc, kg * krw
     j = pl.program_id(0)
     rs = jnp.clip(j * tq - r, 0, h - kr)
 
-    lane = jax.lax.broadcasted_iota(jnp.int32, (gnq, c), 1)
-    lane_k = jax.lax.broadcasted_iota(jnp.int32, (gnk, c), 1)
-    for g in range(tq // gq):
+    lane = jax.lax.broadcasted_iota(jnp.int32, (gnq, cblk), 1)
+    lane_k = jax.lax.broadcasted_iota(jnp.int32, (gnk, cblk), 1)
+    for g in range(ng):
         y0 = j * tq + g * gq
         og = jnp.clip(jnp.clip(y0 - r, 0, h - kk) - rs, 0, kr - kg)
-        ks = k_ref[0, 0, 0, pl.ds(og * krw, gnk), :]
-        vs = v_ref[0, 0, 0, pl.ds(og * krw, gnk), :]
-        q = q_ref[0, g * gq:(g + 1) * gq].reshape(gnq, c)
-        mask = mask_ref[0, 0, g]
-        out = jnp.zeros((gnq, c), jnp.float32)
-        lses = []
-        for head in range(n_heads):
-            q_h = jnp.where((lane // e) == head, q, 0).astype(q.dtype)
-            s = jax.lax.dot_general(
-                q_h, ks, dimension_numbers=(((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32) * scale
-            p = jnp.exp(s) * mask
-            l = jnp.sum(p, axis=1, keepdims=True)
-            if res_refs:
-                # saved WITHOUT a running-max subtraction: the backward
-                # recomputes p = exp(s - lse), which is only finite while
-                # |logits| stays moderate (~<80). The learned per-head
-                # cosine-sim scale is what bounds s here (QK norm clamps the
-                # dot product to [-1, 1] x scale, itv2 scale init 10) — this
-                # bounded-logit assumption is load-bearing for TRAINING
-                # gradients, not just inference.
-                lses.append(jnp.log(l))
-            v_h = jnp.where((lane_k // e) == head, vs, 0).astype(vs.dtype)
-            # normalize on the (gnq, c) output instead of the (gnq, gnk)
-            # probabilities — c < gnk, and v_h is head-masked so the
-            # per-head 1/l only touches this head's lanes
-            out = out + jax.lax.dot_general(
-                p.astype(q.dtype), v_h,
-                dimension_numbers=(((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32) / l
-        o_ref[0, g * gq:(g + 1) * gq] = (
-            out.reshape(gq, tq, c).astype(o_ref.dtype))
-        if res_refs:  # training: per-head logsumexp map for the backward
-            res_refs[0][0, g * gq:(g + 1) * gq] = (
-                jnp.concatenate(lses, axis=1).reshape(gq, tq, n_heads))
+        grows = slice(g * gq, (g + 1) * gq)
+        for cg in range(ngc):
+            base = cg * (kr * krw)
+            ks = k_ref[0, 0, 0, pl.ds(base + og * krw, gnk), :]
+            vs = v_ref[0, 0, 0, pl.ds(base + og * krw, gnk), :]
+            gcols = slice(cg * gc, (cg + 1) * gc)
+            q = q_ref[0, grows, gcols, :].reshape(gnq, cblk)
+            mask = mask_ref[0, 0, g * ngc + cg].astype(jnp.float32)
+            out = jnp.zeros((gnq, cblk), jnp.float32)
+            lses = []
+            n_heads_blk = cblk // e
+            for head in range(n_heads_blk):
+                q_h = (q if n_heads_blk == 1
+                       else jnp.where((lane // e) == head, q, 0).astype(q.dtype))
+                s = jax.lax.dot_general(
+                    q_h, ks, dimension_numbers=(((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32) * scale
+                p = jnp.exp(s) * mask
+                l = jnp.sum(p, axis=1, keepdims=True)
+                if res_refs:
+                    # saved WITHOUT a running-max subtraction: the backward
+                    # recomputes p = exp(s - lse), which is only finite
+                    # while |logits| stays moderate (~<80). The learned
+                    # per-head cosine-sim scale is what bounds s here (QK
+                    # norm clamps the dot product to [-1, 1] x scale, itv2
+                    # scale init 10) — this bounded-logit assumption is
+                    # load-bearing for TRAINING gradients, not just
+                    # inference.
+                    lses.append(jnp.log(l))
+                v_h = (vs if n_heads_blk == 1
+                       else jnp.where((lane_k // e) == head, vs, 0).astype(vs.dtype))
+                # normalize on the (gnq, cblk) output instead of the
+                # (gnq, gnk) probabilities — cblk < gnk, and v_h is
+                # head-masked so the per-head 1/l only touches this head's
+                # lanes
+                out = out + jax.lax.dot_general(
+                    p.astype(q.dtype), v_h,
+                    dimension_numbers=(((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32) / l
+            o_ref[0, grows, gcols, :] = (
+                out.reshape(gq, gc, cblk).astype(o_ref.dtype))
+            if res_refs:  # training: per-head logsumexp map for the backward
+                res_refs[0][0, 0, grows, gcols, :] = (
+                    jnp.concatenate(lses, axis=1).reshape(gq, gc, hb))
+
+
+def _group_sizes(tq):
+    gq = GROUP_ROWS if tq % GROUP_ROWS == 0 else tq
+    gc = GROUP_COLS if tq % GROUP_COLS == 0 else tq
+    return gq, gc
 
 
 def _na_packed_fwd(q, k, v, kernel_size, scale, tile, n_heads,
                    save_lse=False):
     b, h, w, c = q.shape
+    e = c // n_heads
     tq = tile
-    gq = GROUP_ROWS if tq % GROUP_ROWS == 0 else tq
+    gq, gc = _group_sizes(tq)
     nrb, ncb = h // tq, w // tq
-    grid = (nrb, ncb, b)
-    r, kr, krw = _halo_geometry(h, w, kernel_size, tq)
-    masks = jnp.asarray(_fwd_masks_grouped(h, w, kernel_size, tq, gq))
-    ng, gnq, gnk = masks.shape[2], masks.shape[3], masks.shape[4]
-    k_halo = _extract_halos(k, kernel_size, tq)
-    v_halo = _extract_halos(v, kernel_size, tq)
+    n_cblk, cblk, hb = _packed_geometry(c, e)
+    grid = (nrb, ncb, n_cblk, b)
+    masks = _mask_table(h, w, kernel_size, tq, gq, gc)
+    ng_t, gnq, gnk = masks.shape[2], masks.shape[3], masks.shape[4]
+    k_halo = _extract_halos_cg(k, kernel_size, tq, gq, gc)
+    v_halo = _extract_halos_cg(v, kernel_size, tq, gq, gc)
     nk = k_halo.shape[3]
-    halo_spec = pl.BlockSpec((1, 1, 1, nk, c), lambda j, l, i: (i, j, l, 0, 0))
-    out_specs = [pl.BlockSpec((1, tq, tq, c), lambda j, l, i: (i, j, l, 0))]
+    halo_spec = pl.BlockSpec((1, 1, 1, nk, cblk),
+                             lambda j, l, cb, i: (i, j, l, 0, cb))
+    tile_spec = pl.BlockSpec((1, tq, tq, cblk),
+                             lambda j, l, cb, i: (i, j, l, cb))
+    out_specs = [tile_spec]
     out_shape = [jax.ShapeDtypeStruct(q.shape, q.dtype)]
     if save_lse:
-        out_specs.append(pl.BlockSpec((1, tq, tq, n_heads),
-                                      lambda j, l, i: (i, j, l, 0)))
-        out_shape.append(jax.ShapeDtypeStruct((b, h, w, n_heads), jnp.float32))
+        # native channel-blocked layout (b, n_cblk, h, w, hb); the backward
+        # kernel consumes it with the same blocking
+        out_specs.append(pl.BlockSpec((1, 1, tq, tq, hb),
+                                      lambda j, l, cb, i: (i, cb, j, l, 0)))
+        out_shape.append(
+            jax.ShapeDtypeStruct((b, n_cblk, h, w, hb), jnp.float32))
     res = pl.pallas_call(
         functools.partial(_na_packed_fwd_kernel, kernel_size=kernel_size,
-                          tq=tq, gq=gq, h=h, w=w, scale=scale,
-                          n_heads=n_heads, kr=kr, krw=krw),
+                          tq=tq, gq=gq, gc=gc, h=h, w=w, scale=scale, e=e),
         grid=grid,
         in_specs=[
-            pl.BlockSpec((1, tq, tq, c), lambda j, l, i: (i, j, l, 0)),
+            tile_spec,
             halo_spec,
             halo_spec,
-            pl.BlockSpec((1, 1, ng, gnq, gnk), lambda j, l, i: (j, l, 0, 0, 0)),
+            pl.BlockSpec((1, 1, ng_t, gnq, gnk), _mask_index_map(nrb, ncb)),
         ],
         out_specs=out_specs if save_lse else out_specs[0],
         out_shape=out_shape if save_lse else out_shape[0],
@@ -562,136 +677,149 @@ def _na_packed_fwd(q, k, v, kernel_size, scale, tile, n_heads,
 
 def _na_packed_dqkv_kernel(q_ref, k_ref, v_ref, do_ref, o_ref, lse_ref,
                            mask_ref, dq_ref, dk_ref, dv_ref, *, kernel_size,
-                           tq, gq, h, w, scale, n_heads, kr, krw):
-    """Channel-packed backward over QUERY tiles, row-grouped like the
-    forward (shares its grouped mask tables): per-head head-masked matmuls
-    produce dq directly AND per-tile halo-shaped dk/dv partials from the
-    same p/ds blocks (ds^T q and p^T do). Each (query, key) pair lives in
-    exactly one query tile, so the partials overlap-add into the full dk/dv
-    maps on the XLA side (_scatter_halos) — ~10x fewer computed logits than
-    a key-tile-centric dkv kernel whose full-width query slabs re-touch
+                           tq, gq, gc, h, w, scale, e):
+    """Channel-packed backward over QUERY tiles, (gq x gc)-grouped like the
+    forward (shares its grouped mask tables and col-grouped halos): per-head
+    head-masked matmuls produce dq directly AND per-(tile, col-group)
+    halo-shaped dk/dv partials from the same p/ds blocks (ds^T q and
+    p^T do). Each (query, key) pair lives in exactly one query group, so
+    the partials overlap-add into the full dk/dv maps on the XLA side
+    (_scatter_halos_cg) — ~10x fewer computed logits than a
+    key-tile-centric dkv kernel whose full-width query slabs re-touch
     every pair."""
-    c = q_ref.shape[-1]
-    e = c // n_heads
+    cblk = q_ref.shape[-1]
+    hb = cblk // e
     kk = kernel_size
-    r = (kk - 1) // 2
-    kg = _fwd_group_geometry(h, kk, tq, gq)
-    gnq, gnk = gq * tq, kg * krw
+    r, kr, krw, kg, ng, ngc = _halo_geometry_cg(h, w, kk, tq, gq, gc)
+    gnq, gnk = gq * gc, kg * krw
     j = pl.program_id(0)
     rs = jnp.clip(j * tq - r, 0, h - kr)
 
-    lane = jax.lax.broadcasted_iota(jnp.int32, (gnq, c), 1)
-    lane_k = jax.lax.broadcasted_iota(jnp.int32, (gnk, c), 1)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (gnq, cblk), 1)
+    lane_k = jax.lax.broadcasted_iota(jnp.int32, (gnk, cblk), 1)
     # per-head delta = rowsum over the head's lanes of do*o, via one matmul
-    # with the (c, heads) head-indicator matrix
-    hrow = jax.lax.broadcasted_iota(jnp.int32, (c, n_heads), 0) // e
-    hcol = jax.lax.broadcasted_iota(jnp.int32, (c, n_heads), 1)
+    # with the (cblk, hb) head-indicator matrix
+    hrow = jax.lax.broadcasted_iota(jnp.int32, (cblk, hb), 0) // e
+    hcol = jax.lax.broadcasted_iota(jnp.int32, (cblk, hb), 1)
     bdh = (hrow == hcol).astype(jnp.float32)
 
-    # group slabs overlap and edge-tile groups do not reach the last halo
-    # rows, so start from zero and read-modify-write per group
+    # row-group slabs overlap within a column group, so start from zero and
+    # read-modify-write per row group
     dk_ref[0, 0, 0] = jnp.zeros_like(dk_ref[0, 0, 0])
     dv_ref[0, 0, 0] = jnp.zeros_like(dv_ref[0, 0, 0])
 
-    for g in range(tq // gq):
+    for g in range(ng):
         y0 = j * tq + g * gq
         og = jnp.clip(jnp.clip(y0 - r, 0, h - kk) - rs, 0, kr - kg)
-        ks = k_ref[0, 0, 0, pl.ds(og * krw, gnk), :]
-        vs = v_ref[0, 0, 0, pl.ds(og * krw, gnk), :]
-        gs = slice(g * gq, (g + 1) * gq)
-        q = q_ref[0, gs].reshape(gnq, c)
-        do = do_ref[0, gs].reshape(gnq, c)
-        o = o_ref[0, gs].reshape(gnq, c)
-        lse = lse_ref[0, gs].reshape(gnq, n_heads)
-        mask = mask_ref[0, 0, g]
-        delta = jax.lax.dot_general(
-            do.astype(jnp.float32) * o.astype(jnp.float32), bdh,
-            dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)  # (gnq, heads)
+        grows = slice(g * gq, (g + 1) * gq)
+        for cg in range(ngc):
+            base = cg * (kr * krw)
+            sl = pl.ds(base + og * krw, gnk)
+            ks = k_ref[0, 0, 0, sl, :]
+            vs = v_ref[0, 0, 0, sl, :]
+            gcols = slice(cg * gc, (cg + 1) * gc)
+            q = q_ref[0, grows, gcols, :].reshape(gnq, cblk)
+            do = do_ref[0, grows, gcols, :].reshape(gnq, cblk)
+            o = o_ref[0, grows, gcols, :].reshape(gnq, cblk)
+            lse = lse_ref[0, 0, grows, gcols, :].reshape(gnq, hb)
+            mask = mask_ref[0, 0, g * ngc + cg].astype(jnp.float32)
+            delta = jax.lax.dot_general(
+                do.astype(jnp.float32) * o.astype(jnp.float32), bdh,
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)  # (gnq, hb)
 
-        dq = jnp.zeros((gnq, c), jnp.float32)
-        dk_g = jnp.zeros((gnk, c), jnp.float32)
-        dv_g = jnp.zeros((gnk, c), jnp.float32)
-        for head in range(n_heads):
-            q_h = jnp.where((lane // e) == head, q, 0).astype(q.dtype)
-            do_h = jnp.where((lane // e) == head, do, 0).astype(do.dtype)
-            s = jax.lax.dot_general(
-                q_h, ks, dimension_numbers=(((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32) * scale
-            p = jnp.exp(s - lse[:, head:head + 1]) * mask
-            dp = jax.lax.dot_general(
-                do_h, vs, dimension_numbers=(((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32)
-            ds = (p * (dp - delta[:, head:head + 1])).astype(q.dtype)
-            k_h = jnp.where((lane_k // e) == head, ks, 0).astype(ks.dtype)
-            dq = dq + jax.lax.dot_general(
-                ds, k_h, dimension_numbers=(((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32) * scale
-            dk_g = dk_g + jax.lax.dot_general(
-                ds, q_h, dimension_numbers=(((0,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32) * scale  # (gnk, c)
-            dv_g = dv_g + jax.lax.dot_general(
-                p.astype(q.dtype), do_h,
-                dimension_numbers=(((0,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32)          # (gnk, c)
-        dq_ref[0, gs] = dq.reshape(gq, tq, c).astype(dq_ref.dtype)
-        sl = pl.ds(og * krw, gnk)
-        dk_ref[0, 0, 0, sl, :] = (dk_ref[0, 0, 0, sl, :]
-                                  + dk_g.astype(dk_ref.dtype))
-        dv_ref[0, 0, 0, sl, :] = (dv_ref[0, 0, 0, sl, :]
-                                  + dv_g.astype(dv_ref.dtype))
+            dq = jnp.zeros((gnq, cblk), jnp.float32)
+            dk_g = jnp.zeros((gnk, cblk), jnp.float32)
+            dv_g = jnp.zeros((gnk, cblk), jnp.float32)
+            for head in range(hb):
+                q_h = (q if hb == 1
+                       else jnp.where((lane // e) == head, q, 0).astype(q.dtype))
+                do_h = (do if hb == 1
+                        else jnp.where((lane // e) == head, do, 0).astype(do.dtype))
+                s = jax.lax.dot_general(
+                    q_h, ks, dimension_numbers=(((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32) * scale
+                p = jnp.exp(s - lse[:, head:head + 1]) * mask
+                dp = jax.lax.dot_general(
+                    do_h, vs, dimension_numbers=(((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32)
+                ds = (p * (dp - delta[:, head:head + 1])).astype(q.dtype)
+                k_h = (ks if hb == 1
+                       else jnp.where((lane_k // e) == head, ks, 0).astype(ks.dtype))
+                dq = dq + jax.lax.dot_general(
+                    ds, k_h, dimension_numbers=(((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32) * scale
+                dk_g = dk_g + jax.lax.dot_general(
+                    ds, q_h, dimension_numbers=(((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32) * scale  # (gnk, cblk)
+                dv_g = dv_g + jax.lax.dot_general(
+                    p.astype(q.dtype), do_h,
+                    dimension_numbers=(((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)          # (gnk, cblk)
+            dq_ref[0, grows, gcols, :] = (
+                dq.reshape(gq, gc, cblk).astype(dq_ref.dtype))
+            dk_ref[0, 0, 0, sl, :] = (dk_ref[0, 0, 0, sl, :]
+                                      + dk_g.astype(dk_ref.dtype))
+            dv_ref[0, 0, 0, sl, :] = (dv_ref[0, 0, 0, sl, :]
+                                      + dv_g.astype(dv_ref.dtype))
 
 
-def _scatter_halos(halos, h, w, kk, tq):
-    """(n, nrb, ncb, kr*krw, e) per-tile halo partials -> (n, h, w, e) by
-    overlap-add: the exact transpose of _extract_halos (static slices, so
-    XLA lowers to a chain of in-place dynamic-update-slices)."""
+def _scatter_halos_cg(halos, h, w, kk, tq, gq, gc):
+    """(n, nrb, ncb, ngc*kr*krw, e) per-(tile, col-group) halo partials ->
+    (n, h, w, e) by overlap-add: the exact transpose of _extract_halos_cg
+    (static slices, so XLA lowers to in-place dynamic-update-slices)."""
     n, nrb, ncb, nk, e = halos.shape
-    rows, cols = _halo_indices(h, w, kk, tq)
-    kr = rows.shape[1]
-    krw = cols.shape[1]
-    hb = halos.reshape(n, nrb, ncb, kr, krw, e)
+    r, kr, krw, kg, ng, ngc = _halo_geometry_cg(h, w, kk, tq, gq, gc)
+    rows, cols = _halo_indices_cg(h, w, kk, tq, gq, gc)
+    hb = halos.reshape(n, nrb, ncb, ngc, kr, krw, e)
     out = jnp.zeros((n, h, w, e), halos.dtype)
     for j in range(nrb):
-        rs = int(rows[j][0])
+        rs = int(rows[j])
         for l in range(ncb):
-            cs = int(cols[l][0])
-            out = out.at[:, rs:rs + kr, cs:cs + krw, :].add(hb[:, j, l])
+            for cg in range(ngc):
+                cs = int(cols[l][cg])
+                out = out.at[:, rs:rs + kr, cs:cs + krw, :].add(
+                    hb[:, j, l, cg])
     return out
 
 
 def _na_packed_bwd(kernel_size, scale, tile, n_heads, res, dout):
     q, k, v, out, lse = res
     b, h, w, c = q.shape
+    e = c // n_heads
     tq = tile
-    gq = GROUP_ROWS if tq % GROUP_ROWS == 0 else tq
+    gq, gc = _group_sizes(tq)
     nrb, ncb = h // tq, w // tq
-    r, kr, krw = _halo_geometry(h, w, kernel_size, tq)
-    fwd_masks = jnp.asarray(_fwd_masks_grouped(h, w, kernel_size, tq, gq))
-    ng, gnq, gnk = fwd_masks.shape[2], fwd_masks.shape[3], fwd_masks.shape[4]
-    k_halo = _extract_halos(k, kernel_size, tq)
-    v_halo = _extract_halos(v, kernel_size, tq)
+    n_cblk, cblk, hb = _packed_geometry(c, e)
+    fwd_masks = _mask_table(h, w, kernel_size, tq, gq, gc)
+    ng_t, gnq, gnk = (fwd_masks.shape[2], fwd_masks.shape[3],
+                      fwd_masks.shape[4])
+    k_halo = _extract_halos_cg(k, kernel_size, tq, gq, gc)
+    v_halo = _extract_halos_cg(v, kernel_size, tq, gq, gc)
     nk = k_halo.shape[3]
-    halo_spec = pl.BlockSpec((1, 1, 1, nk, c), lambda j, l, i: (i, j, l, 0, 0))
-    tile_c = pl.BlockSpec((1, tq, tq, c), lambda j, l, i: (i, j, l, 0))
-    tile_h = pl.BlockSpec((1, tq, tq, n_heads), lambda j, l, i: (i, j, l, 0))
-    halo_out = pl.BlockSpec((1, 1, 1, nk, c), lambda j, l, i: (i, j, l, 0, 0))
+    halo_spec = pl.BlockSpec((1, 1, 1, nk, cblk),
+                             lambda j, l, cb, i: (i, j, l, 0, cb))
+    tile_c = pl.BlockSpec((1, tq, tq, cblk),
+                          lambda j, l, cb, i: (i, j, l, cb))
+    tile_h = pl.BlockSpec((1, 1, tq, tq, hb),
+                          lambda j, l, cb, i: (i, cb, j, l, 0))
+    halo_out = pl.BlockSpec((1, 1, 1, nk, cblk),
+                            lambda j, l, cb, i: (i, j, l, 0, cb))
     dq, dk_halo, dv_halo = pl.pallas_call(
         functools.partial(_na_packed_dqkv_kernel, kernel_size=kernel_size,
-                          tq=tq, gq=gq, scale=scale, n_heads=n_heads,
-                          h=h, w=w, kr=kr, krw=krw),
-        grid=(nrb, ncb, b),
+                          tq=tq, gq=gq, gc=gc, scale=scale, h=h, w=w, e=e),
+        grid=(nrb, ncb, n_cblk, b),
         in_specs=[tile_c, halo_spec, halo_spec, tile_c, tile_c, tile_h,
-                  pl.BlockSpec((1, 1, ng, gnq, gnk),
-                               lambda j, l, i: (j, l, 0, 0, 0))],
+                  pl.BlockSpec((1, 1, ng_t, gnq, gnk),
+                               _mask_index_map(nrb, ncb))],
         out_specs=[tile_c, halo_out, halo_out],
         out_shape=[jax.ShapeDtypeStruct(q.shape, q.dtype),
                    jax.ShapeDtypeStruct((b, nrb, ncb, nk, c), q.dtype),
                    jax.ShapeDtypeStruct((b, nrb, ncb, nk, c), q.dtype)],
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=64 * 2**20),
     )(q, k_halo, v_halo, dout, out, lse, fwd_masks)
-    dk = _scatter_halos(dk_halo, h, w, kernel_size, tq)
-    dv = _scatter_halos(dv_halo, h, w, kernel_size, tq)
+    dk = _scatter_halos_cg(dk_halo, h, w, kernel_size, tq, gq, gc)
+    dv = _scatter_halos_cg(dv_halo, h, w, kernel_size, tq, gq, gc)
     return dq, dk, dv
 
 
@@ -716,6 +844,17 @@ def _na2d_packed_bwd_rule(kernel_size, scale, tile, n_heads, res, dout):
 _na2d_packed_inner.defvjp(_na2d_packed_fwd_rule, _na2d_packed_bwd_rule)
 
 
+def preferred_tile(h, w, training):
+    """Measured tile choice (r3, v5e): 32x32 tiles win for the
+    forward-only eval path on 64x64+ maps (1/4 the programs, halo
+    duplication 2.06x -> 1.48x: 108 -> 80 us at the flagship level-0
+    shape), while the backward's per-tile dk/dv halo partials grow with
+    tile area and favor 16 (train fwd+bwd 3.38 -> 3.66 ms/call at 32)."""
+    if not training and h % 32 == 0 and w % 32 == 0 and min(h, w) >= 64:
+        return 32
+    return DEFAULT_TILE
+
+
 def na2d_packed(q, k, v, n_heads, kernel_size, scale=1.0, tile=DEFAULT_TILE):
     """Channel-packed 2-D neighborhood attention: q,k,v (b, h, w, heads*e),
     per-head attention without unpacking heads from the channel dim.
@@ -730,7 +869,10 @@ def na2d_packed(q, k, v, n_heads, kernel_size, scale=1.0, tile=DEFAULT_TILE):
                       k.reshape(b, h, w, n_heads, e),
                       v.reshape(b, h, w, n_heads, e), kernel_size, scale=scale)
         return out.reshape(b, h, w, c)
-    if c > 512 or c % 128 != 0:
+    # channel-block geometry needs whole heads per 128-lane block (or
+    # whole 128-lane blocks per head)
+    blockable = (128 % e == 0) if e < 128 else (e % 128 == 0)
+    if c > 512 or c % 128 != 0 or not blockable:
         out = na2d(q.reshape(b, h, w, n_heads, e),
                    k.reshape(b, h, w, n_heads, e),
                    v.reshape(b, h, w, n_heads, e), kernel_size, scale=scale,

@@ -50,6 +50,7 @@ def main():
     ap.add_argument("--batch", type=int, default=32)
     ap.add_argument("--remat", action="store_true")
     ap.add_argument("--remat-policy", type=str, default=None)
+    ap.add_argument("--remat-levels", type=int, nargs="*", default=None)
     ap.add_argument("--only", type=str, default=None,
                     help="comma-separated subset: fwd,grad,opt,full")
     args = ap.parse_args()
@@ -61,7 +62,8 @@ def main():
     config = config_mod.load_config(__graft_entry__._flagship_config())
     model = config_mod.make_model(config, dtype=jnp.bfloat16,
                                   checkpointing=args.remat,
-                                  remat_policy=args.remat_policy)
+                                  remat_policy=args.remat_policy,
+                                  remat_levels=args.remat_levels)
     den_factory = config_mod.make_denoiser_wrapper(config)
     sample_density = config_mod.make_sample_density(config["model"])
 

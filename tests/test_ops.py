@@ -222,3 +222,32 @@ def test_fused_ffn_reference_path():
     a, gate = jnp.split(up, 2, axis=-1)
     expected = x + (a * jax.nn.gelu(gate, approximate=False)) @ w_down
     np.testing.assert_allclose(np.asarray(out), np.asarray(expected), atol=1e-4)
+
+
+def test_erf_poly_accuracy():
+    """The clamped polynomial erf/gelu/pdf used inside the Mosaic kernels
+    (ops/pallas/erf_poly.py) must stay within their documented error bounds
+    of the exact functions, including far outside the clamp range."""
+    import math
+    from k_diffusion_tpu.ops.pallas import erf_poly
+
+    z = np.linspace(-12.0, 12.0, 40001).astype(np.float32)
+    exact_erf = np.vectorize(math.erf)(z.astype(np.float64))
+    got = np.asarray(erf_poly.erf_poly(jnp.asarray(z)), np.float64)
+    assert np.abs(got - exact_erf).max() < 2e-4  # 7.3e-5 fit + f32 rounding
+
+    exact_gelu = z.astype(np.float64) * 0.5 * (
+        1 + np.vectorize(math.erf)(z.astype(np.float64) / math.sqrt(2)))
+    got_gelu = np.asarray(erf_poly.gelu_poly(jnp.asarray(z)), np.float64)
+    assert np.abs(got_gelu - exact_gelu).max() < 1e-3
+
+    exact_phi = np.exp(-0.5 * z.astype(np.float64) ** 2) / math.sqrt(2 * math.pi)
+    got_phi = np.asarray(erf_poly.gauss_pdf_poly(jnp.asarray(z)), np.float64)
+    assert np.abs(got_phi - exact_phi).max() < 3e-3
+
+    # gelu'(g) = Phi + g*phi vs autodiff of the exact gelu
+    gelu_exact_grad = jax.vmap(jax.grad(
+        lambda t: 0.5 * t * (1 + jax.scipy.special.erf(t / jnp.sqrt(2.0)))))(
+        jnp.asarray(z))
+    _, dgelu = erf_poly.gelu_and_grad_poly(jnp.asarray(z))
+    assert np.abs(np.asarray(dgelu) - np.asarray(gelu_exact_grad)).max() < 2e-2

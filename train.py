@@ -45,6 +45,10 @@ def main():
                    help="the global batch size")
     p.add_argument("--checkpointing", action="store_true",
                    help="enable gradient checkpointing")
+    p.add_argument("--remat-levels", type=int, nargs="*", default=None,
+                   help="hourglass levels to remat under --checkpointing "
+                        "(default all; e.g. '0' remats only the memory-"
+                        "heavy high-res level, cutting the remat tax)")
     p.add_argument("--config", type=str, required=True,
                    help="the configuration file")
     p.add_argument("--demo-every", type=int, default=500,
@@ -121,7 +125,8 @@ def main():
 
     dtype = jnp.bfloat16 if args.mixed_precision == "bf16" else jnp.float32
     model = config_mod.make_model(config, dtype=dtype,
-                                  checkpointing=args.checkpointing)
+                                  checkpointing=args.checkpointing,
+                                  remat_levels=args.remat_levels)
 
     # wandb (optional; rank 0 only, reference train.py:124)
     use_wandb = bool(args.wandb_project) and is_main
