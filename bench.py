@@ -6,8 +6,11 @@ Prints ONE JSON line:
     XLA-fallback path (the reference publishes no numbers; BASELINE.md).
   train_imgs_per_sec            : full train step (fwd+bwd+clip+AdamW+EMA),
     batch 32, no remat.
-  train_imgs_per_sec_remat      : same with per-layer gradient checkpointing
-    (dots_with_no_batch_dims_saveable policy).
+  train_imgs_per_sec_remat      : same with gradient checkpointing on the
+    memory-dominant high-res level (remat_levels=(0,): level 0 holds ~2x
+    the activation bytes/layer of level 1 and ~4x the global level, while
+    its recompute is a minority of model FLOPs — measured fastest in the
+    r3 remat ladder, PERFORMANCE.md).
   sample_mfu / train_mfu        : measured model FLOPs / step time / peak,
     using the reference-convention analytic FLOP count (models/flops.py;
     2 FLOPs per MAC, backward = 2x forward) and the chip's bf16 peak.
@@ -60,24 +63,29 @@ def _median_time(run, n_iters=5):
 
 
 def bench_sampling(config, model, params, key):
-    from k_diffusion_tpu import sampling
+    from k_diffusion_tpu import layout, sampling
     from k_diffusion_tpu.denoiser import Denoiser
 
     batch, steps, reps = 8, 50, 4
     sigma_min, sigma_max = config["model"]["sigma_min"], config["model"]["sigma_max"]
-    init_x = jax.random.normal(key, (reps, batch, 256, 256, 3)) * sigma_max
+    # folded (b, h, w*c) image layout for the sampler algebra (layout.py);
+    # bitwise-identical to NHWC, ~20% faster end-to-end
+    init_x = jax.random.normal(key, (reps, batch, 256, 256 * 3)) * sigma_max
     sigmas = sampling.get_sigmas_karras(steps, sigma_min, sigma_max)
 
     @jax.jit
     def sample(params, xs, sigmas):
         den = Denoiser(
-            lambda xi, si, **kw: model.apply({"params": params}, xi, si, **kw),
+            layout.folded_model_fn(
+                lambda xi, si, **kw: model.apply({"params": params}, xi, si, **kw),
+                3),
             sigma_data=config["model"]["sigma_data"])
         # steady-state throughput: `reps` consecutive batches per dispatch
         # (amortizes this environment's ~25 ms per-dispatch tunnel RPC,
         # which is not a property of the framework or the hardware)
-        return jax.lax.map(
+        out = jax.lax.map(
             lambda x: sampling.sample_dpmpp_2m(den, x, sigmas), xs)
+        return layout.unfold_images(out, 3)
 
     # NOTE: under the axon tunnel block_until_ready does not reliably
     # synchronize; a host readback does. Use a scalar readback as the fence.
@@ -93,7 +101,7 @@ def bench_512():
     """512x512 sampling on the 4-level HDiT (configs/config_512_hdit.json),
     50-step DPM++(2M) at batch 4 — the long-context scale story (a
     128x128-token neighborhood-attention level)."""
-    from k_diffusion_tpu import config as config_mod, sampling
+    from k_diffusion_tpu import config as config_mod, layout, sampling
     from k_diffusion_tpu.denoiser import Denoiser
 
     config = config_mod.load_config(
@@ -104,18 +112,22 @@ def bench_512():
     params = jax.jit(model.init)(
         key, jax.random.normal(key, (1, 512, 512, 3)), jnp.ones([1]))["params"]
     b, reps, mcfg = 4, 2, config["model"]
-    init_x = jax.random.normal(key, (reps, b, 512, 512, 3)) * mcfg["sigma_max"]
+    # folded image layout (see bench_sampling / layout.py)
+    init_x = jax.random.normal(key, (reps, b, 512, 512 * 3)) * mcfg["sigma_max"]
     sigmas = sampling.get_sigmas_karras(50, mcfg["sigma_min"],
                                         mcfg["sigma_max"])
 
     @jax.jit
     def sample(params, xs, sigmas):
         den = Denoiser(
-            lambda xi, si, **kw: model.apply({"params": params}, xi, si, **kw),
+            layout.folded_model_fn(
+                lambda xi, si, **kw: model.apply({"params": params}, xi, si, **kw),
+                3),
             sigma_data=mcfg["sigma_data"])
         # steady-state: `reps` batches per dispatch (see bench_sampling)
-        return jax.lax.map(
+        out = jax.lax.map(
             lambda x: sampling.sample_dpmpp_2m(den, x, sigmas), xs)
+        return layout.unfold_images(out, 3)
 
     def run_once():
         out = sample(params, init_x, sigmas)
@@ -135,7 +147,7 @@ def bench_train(config, remat):
 
     model = config_mod.make_model(
         config, dtype=jnp.bfloat16, checkpointing=remat,
-        remat_policy="dots_with_no_batch_dims_saveable" if remat else None)
+        remat_levels=(0,) if remat else None)
     den_factory = config_mod.make_denoiser_wrapper(config)
     sample_density = config_mod.make_sample_density(config["model"])
 
@@ -148,14 +160,17 @@ def bench_train(config, remat):
     opt_state = opt.init(params)
 
     def loss_fn(params, key):
+        from k_diffusion_tpu import layout
         k_sig, k_noise, k_drop = jax.random.split(key, 3)
         sigma = sample_density(k_sig, (b,))
-        den = den_factory(
+        # folded image layout for the loss math, as in training.py
+        den = den_factory(layout.folded_model_fn(
             lambda x, s, **kw: model.apply({"params": params}, x, s,
                                            train=True,
-                                           rngs={"dropout": k_drop}, **kw))
-        noise = jax.random.normal(k_noise, reals.shape, reals.dtype)
-        return jnp.mean(den.loss(reals, noise, sigma))
+                                           rngs={"dropout": k_drop}, **kw), 3))
+        reals_f = layout.fold_images(reals)
+        noise = jax.random.normal(k_noise, reals_f.shape, reals_f.dtype)
+        return jnp.mean(den.loss(reals_f, noise, sigma))
 
     @jax.jit
     def scan_steps(params, opt_state, key):

@@ -2,8 +2,8 @@
 capability surface of crowsonkb/k-diffusion (Karras et al. 2022, EDM)."""
 
 from . import (augmentation, checkpoint, config, data, denoiser, evaluation,
-               external, gns, guidance, layers, models, ode, ops, parallel,
-               sampling, training, utils)
+               external, gns, guidance, layers, layout, models, ode, ops,
+               parallel, sampling, training, utils)
 from .denoiser import Denoiser, DenoiserWithVariance, SimpleLossDenoiser
 from .ode import log_likelihood
 

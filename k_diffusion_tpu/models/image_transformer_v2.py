@@ -207,7 +207,8 @@ class SelfAttentionBlock(nn.Module):
                 from ..ops.pallas.na2d import na2d_packed, preferred_tile
                 x = na2d_packed(qp, kp, vp, n_heads,
                                 self.attn_spec.kernel_size, scale=1.0,
-                                tile=preferred_tile(h, w, not deterministic))
+                                tile=preferred_tile(h, w, not deterministic,
+                                                    batch=b))
             else:
                 # unfused prologue (KDT_TRAIN_FUSION=0): per-head kernel
                 from ..ops.pallas import na2d
@@ -411,11 +412,24 @@ class TokenMerge(nn.Module):
         b, h, w, c = x.shape
         w_proj = _KernelParam((ph * pw * c, self.out_features),
                               nn.initializers.lecun_normal(), name="proj")()
+        dtype = self.dtype
+        if c * pw < 128:
+            # image input (C=3): patch from the FOLDED (b, h, w*c) layout —
+            # a patch's pw*c lanes are contiguous there, so the pixel
+            # shuffle is two reshapes + one einsum and the C-minor NHWC
+            # image layout (~5% lane utilization, see layout.py) is never
+            # materialized. When the caller unfolded a folded sampler array
+            # (layout.folded_model_fn), the reshapes cancel bitwise.
+            # Kernel flattening (ph, pw*c) matches the conv path's
+            # (ph, pw, c) channel order, so checkpoints are identical.
+            xf = x.reshape(b, h, w * c)
+            x5 = xf.reshape(b, h // ph, ph, w // pw, pw * c)
+            kernel = w_proj.reshape(ph, pw * c, self.out_features).astype(dtype)
+            return jnp.einsum("bypxu,pun->byxn", x5.astype(dtype), kernel)
         # pixel-shuffle + matmul expressed as a strided conv: XLA lowers it
         # onto the MXU without materializing the (ph, pw, c) shuffle copy
         # (the kernel layout matches the flattened (ph, pw, c) channel order
         # of the reshape+moveaxis formulation, so checkpoints are identical)
-        dtype = self.dtype
         kernel = w_proj.reshape(ph, pw, c, self.out_features).astype(dtype)
         return jax.lax.conv_general_dilated(
             x.astype(dtype), kernel, window_strides=(ph, pw), padding="VALID",
@@ -436,6 +450,18 @@ def _split_proj(x, w_proj, patch_size, out_features, dtype):
     matches the Dense + _unpatch formulation for checkpoint parity."""
     ph, pw = patch_size
     c = x.shape[-1]
+    if out_features * pw < 128:
+        # image output (C=3): project then assemble the FOLDED (b, h, w*c)
+        # image with one sublane transpose — the C-minor NHWC layout is
+        # never materialized (see TokenMerge; layout.folded_model_fn's
+        # re-fold cancels the final reshape bitwise). Kernel column order
+        # (ph, pw, out) matches the conv-transpose path for checkpoint
+        # parity.
+        b, hy, wx, _ = x.shape
+        kernel = w_proj.reshape(c, ph, pw * out_features).astype(dtype)
+        t = jnp.einsum("byxi,ipu->bypxu", x.astype(dtype), kernel)
+        folded = t.reshape(b, hy * ph, wx * pw * out_features)
+        return folded.reshape(b, hy * ph, wx * pw, out_features)
     # conv_transpose uses the flipped-kernel convention, so mirror the
     # spatial taps to reproduce out[s*i + p] = x[i] @ W[p]
     kernel = w_proj.reshape(c, ph, pw, out_features).transpose(1, 2, 0, 3)

@@ -844,15 +844,20 @@ def _na2d_packed_bwd_rule(kernel_size, scale, tile, n_heads, res, dout):
 _na2d_packed_inner.defvjp(_na2d_packed_fwd_rule, _na2d_packed_bwd_rule)
 
 
-def preferred_tile(h, w, training):
-    """Measured tile choice (r3, v5e): 32x32 tiles win for the
-    forward-only eval path on 64x64+ maps (1/4 the programs, halo
-    duplication 2.06x -> 1.48x: 108 -> 80 us at the flagship level-0
-    shape), while the backward's per-tile dk/dv halo partials grow with
+def preferred_tile(h, w, training, batch=None):
+    """Measured tile choice (r3, v5e). Eval forward: 32x32 tiles win on
+    64x64+ maps (1/4 the programs, halo duplication 2.06x -> 1.48x: 108 ->
+    80 us at the flagship level-0 shape b=8); at low grid occupancy —
+    128x128 maps, or small batches (the 512x512 bench's b=4: 111 -> 78 us
+    at 64x64 c=256) — fixed per-program costs dominate and 64x64 tiles win
+    another 12-30%. The backward's per-tile dk/dv halo partials grow with
     tile area and favor 16 (train fwd+bwd 3.38 -> 3.66 ms/call at 32)."""
-    if not training and h % 32 == 0 and w % 32 == 0 and min(h, w) >= 64:
-        return 32
-    return DEFAULT_TILE
+    if training or h % 32 or w % 32 or min(h, w) < 64:
+        return DEFAULT_TILE
+    if h % 64 == 0 and w % 64 == 0 and (min(h, w) >= 128
+                                        or (batch is not None and batch <= 4)):
+        return 64
+    return 32
 
 
 def na2d_packed(q, k, v, n_heads, kernel_size, scale=1.0, tile=DEFAULT_TILE):

@@ -149,6 +149,15 @@ def make_train_step(model, denoiser_factory, sample_density, optimizer, *,
             return apply_fn(params, x, sig, k_dropout, **kwargs)
 
         den = denoiser_factory(inner)
+        if reals.ndim == 4 and getattr(den, "scales", 1) == 1:
+            # folded (b, h, w*c) image layout for the loss-side elementwise
+            # math (layout.py): bitwise-identical loss (the noise draw
+            # reshapes in place, threefry bits are flat-indexed), avoids
+            # XLA's C-minor image layout for every loss op and its backward
+            from . import layout
+            den = denoiser_factory(
+                layout.folded_model_fn(inner, reals.shape[-1]))
+            reals = layout.fold_images(reals)
         noise = global_draw(
             lambda s: jax.random.normal(k_noise, s, reals.dtype), reals.shape)
         losses = den.loss(reals, noise, sigma, **extra)

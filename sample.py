@@ -46,8 +46,14 @@ def main():
     model = K.config.make_model(config, dtype=jnp.bfloat16)
     params, _ = K.checkpoint.load_inference(args.checkpoint)
     print("Parameters:", f"{K.utils.n_params(params):,}")
+    channels = model_config["input_channels"]
+    # folded (b, h, w*c) sampler layout (k_diffusion_tpu/layout.py):
+    # bitwise-identical samples, the image-space sampler algebra runs
+    # lane-wide instead of C-minor
     denoiser = K.Denoiser(
-        lambda x, s, **kw: model.apply({"params": params}, x, s, **kw),
+        K.layout.folded_model_fn(
+            lambda x, s, **kw: model.apply({"params": params}, x, s, **kw),
+            channels),
         sigma_data=model_config["sigma_data"])
 
     sigma_min, sigma_max = model_config["sigma_min"], model_config["sigma_max"]
@@ -61,8 +67,7 @@ def main():
         nonlocal key
         key, k_noise, k_cls, k_samp = jax.random.split(key, 4)
         x = jax.random.normal(
-            k_noise, [args.batch_size, size[0], size[1],
-                      model_config["input_channels"]]) * sigma_max
+            k_noise, [args.batch_size, size[0], size[1] * channels]) * sigma_max
         extra = {}
         if num_classes:
             # class-conditional model: sample random classes (the reference
@@ -71,7 +76,7 @@ def main():
                 k_cls, [args.batch_size], 0, num_classes)
         x_0 = K.sampling.call_sampler(
             args.sampler, denoiser, x, sigmas, extra_args=extra, key=k_samp)
-        return x_0[:n]
+        return K.layout.unfold_images(x_0[:n], channels)
 
     x_0 = K.evaluation.compute_features(sample_fn, lambda x: x, args.n,
                                         args.batch_size)

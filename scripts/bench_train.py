@@ -81,14 +81,17 @@ def main():
     opt_state = opt.init(params)
 
     def loss_fn(params, key):
+        from k_diffusion_tpu import layout
         k_sig, k_noise, k_drop = jax.random.split(key, 3)
         sigma = sample_density(k_sig, (b,))
         def inner(x, sig, **kw):
             return model.apply({"params": params}, x, sig, train=True,
                                rngs={"dropout": k_drop}, **kw)
-        den = den_factory(inner)
-        noise = jax.random.normal(k_noise, reals.shape, reals.dtype)
-        return jnp.mean(den.loss(reals, noise, sigma))
+        # folded image layout for the loss math, as in training.py
+        den = den_factory(layout.folded_model_fn(inner, reals.shape[-1]))
+        reals_f = layout.fold_images(reals)
+        noise = jax.random.normal(k_noise, reals_f.shape, reals_f.dtype)
+        return jnp.mean(den.loss(reals_f, noise, sigma))
 
     only = set(args.only.split(",")) if args.only else None
 

@@ -107,6 +107,25 @@ def test_na2d_packed_proj_matches_reference(hw, c, heads, kk):
 
 
 @requires_tpu
+@pytest.mark.parametrize("tile", [16, 32, 64])
+def test_na2d_packed_tile_variants_match_reference(tile):
+    """The eval-forward tile ladder (preferred_tile picks 16/32/64 by shape
+    and batch) must be numerically equivalent at every tile size."""
+    hw, c, heads, kk = 64, 128, 2, 7
+    ks = jax.random.split(jax.random.PRNGKey(11), 3)
+    q, k, v = [jax.random.normal(kk_, (2, hw, hw, c), jnp.bfloat16) * 0.5
+               for kk_ in ks]
+    out_t = na_mod.na2d_packed(q, k, v, heads, kk, tile=tile)
+    e = c // heads
+    out_x = na_mod.na2d_reference(q.reshape(2, hw, hw, heads, e),
+                                  k.reshape(2, hw, hw, heads, e),
+                                  v.reshape(2, hw, hw, heads, e), kk)
+    np.testing.assert_allclose(
+        np.asarray(out_t, np.float32),
+        np.asarray(out_x.reshape(2, hw, hw, c), np.float32), atol=2e-2)
+
+
+@requires_tpu
 def test_fused_mapping_matches_reference():
     fm = importlib.import_module("k_diffusion_tpu.ops.pallas.fused_mapping")
     b, d, dff, n = 8, 256, 768, 2
@@ -228,8 +247,13 @@ def test_fused_ffn_grads_match_reference():
         lambda *b_: ff._ffn_reference(*b_, 1e-6), *a),
         argnums=(0, 1, 2, 3))(x, scale, w_up, w_down)
     for p, r in zip(gp, gx):
-        np.testing.assert_allclose(np.asarray(p), np.asarray(r),
-                                   rtol=2e-2, atol=2e-2)
+        p, r = np.asarray(p), np.asarray(r)
+        # bf16 kernel vs f32-accumulating XLA chain: a handful of elements
+        # can land just past a 2e-2 band (observed 1/65536 at 0.038), so
+        # bound the aggregate error tightly and individual elements loosely
+        np.testing.assert_allclose(p, r, rtol=5e-2, atol=5e-2)
+        rel_l2 = np.linalg.norm(p - r) / max(np.linalg.norm(r), 1e-30)
+        assert rel_l2 < 2e-3, f"relative L2 grad error {rel_l2:.2e}"
 
 
 @requires_tpu
