@@ -7,10 +7,11 @@ Prints ONE JSON line:
   train_imgs_per_sec            : full train step (fwd+bwd+clip+AdamW+EMA),
     batch 32, no remat.
   train_imgs_per_sec_remat      : same with gradient checkpointing on the
-    memory-dominant high-res level (remat_levels=(0,): level 0 holds ~2x
-    the activation bytes/layer of level 1 and ~4x the global level, while
-    its recompute is a minority of model FLOPs — measured fastest in the
-    r3 remat ladder, PERFORMANCE.md).
+    memory-dominant high-res DOWN stack (remat_levels=('down_0',): level 0
+    holds ~2x the activation bytes/layer of level 1 and ~4x the global
+    level, and its up stack's activations are consumed FIRST in the
+    backward so only the down stack pays for saving — measured fastest in
+    the r3 remat ladder, PERFORMANCE.md).
   sample_mfu / train_mfu        : measured model FLOPs / step time / peak,
     using the reference-convention analytic FLOP count (models/flops.py;
     2 FLOPs per MAC, backward = 2x forward) and the chip's bf16 peak.
@@ -147,7 +148,7 @@ def bench_train(config, remat):
 
     model = config_mod.make_model(
         config, dtype=jnp.bfloat16, checkpointing=remat,
-        remat_levels=(0,) if remat else None)
+        remat_levels=('down_0',) if remat else None)
     den_factory = config_mod.make_denoiser_wrapper(config)
     sample_density = config_mod.make_sample_density(config["model"])
 

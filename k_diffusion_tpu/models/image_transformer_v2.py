@@ -407,13 +407,13 @@ class TokenMerge(nn.Module):
     dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, folded=True):
         ph, pw = self.patch_size
         b, h, w, c = x.shape
         w_proj = _KernelParam((ph * pw * c, self.out_features),
                               nn.initializers.lecun_normal(), name="proj")()
         dtype = self.dtype
-        if c * pw < 128:
+        if c * pw < 128 and folded:
             # image input (C=3): patch from the FOLDED (b, h, w*c) layout —
             # a patch's pw*c lanes are contiguous there, so the pixel
             # shuffle is two reshapes + one einsum and the C-minor NHWC
@@ -444,13 +444,13 @@ def _unpatch(x, patch_size, out_features):
     return x
 
 
-def _split_proj(x, w_proj, patch_size, out_features, dtype):
+def _split_proj(x, w_proj, patch_size, out_features, dtype, folded=True):
     """Projection + pixel-unshuffle as one transposed strided conv (exact:
     stride == kernel size, so outputs never overlap). Kernel channel order
     matches the Dense + _unpatch formulation for checkpoint parity."""
     ph, pw = patch_size
     c = x.shape[-1]
-    if out_features * pw < 128:
+    if out_features * pw < 128 and folded:
         # image output (C=3): project then assemble the FOLDED (b, h, w*c)
         # image with one sublane transpose — the C-minor NHWC layout is
         # never materialized (see TokenMerge; layout.folded_model_fn's
@@ -481,14 +481,14 @@ class TokenSplitWithoutSkip(nn.Module):
     dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, folded=True):
         ph, pw = self.patch_size
         init = nn.initializers.zeros if self.zero_init \
             else nn.initializers.lecun_normal()
         w_proj = _KernelParam((x.shape[-1], self.out_features * ph * pw),
                               init, name="proj")()
         return _split_proj(x, w_proj, self.patch_size, self.out_features,
-                           self.dtype)
+                           self.dtype, folded=folded)
 
 
 class TokenSplit(nn.Module):
@@ -535,6 +535,11 @@ class ImageTransformerDenoiserModelV2(nn.Module):
     # width = 2x the bytes/layer) while its layers are a minority of the
     # model FLOPs, so the remat tax shrinks to the recompute of just those
     # layers. The low-token global level's activations are cheap to save.
+    # Entries may also be stack names ('down_0', 'up_0', 'mid') for
+    # sub-level granularity: ('down_0',) checkpoints only the high-res DOWN
+    # stack — the single largest saved-activation block — while the up
+    # stack, whose activations are consumed FIRST in the backward, stays
+    # saved, halving the tax again.
     # (reference checkpoints every block, image_transformer_v2.py:44-49)
     remat_levels: Any = None
     tp_axis: Any = None  # mesh axis name for tensor parallelism (or None)
@@ -550,9 +555,12 @@ class ImageTransformerDenoiserModelV2(nn.Module):
         deterministic = not train
         x = x.astype(self.dtype)
 
-        # Patching
+        # Patching. The folded-einsum image path wins for inference but its
+        # BACKWARD materializes lane-starved (ph, pw*c)-minor transposes
+        # (583 -> 572 imgs/sec measured), so training keeps the strided-conv
+        # formulation whose conv data-grad is cheap.
         x = TokenMerge(self.levels[0].width, self.patch_size,
-                       dtype=self.dtype, name="patch_in")(x)
+                       dtype=self.dtype, name="patch_in")(x, folded=deterministic)
         pos = ops.make_axial_pos(x.shape[-3], x.shape[-2])
 
         # Mapping network
@@ -603,9 +611,10 @@ class ImageTransformerDenoiserModelV2(nn.Module):
 
         def make_level(spec, prefix, level_idx, offset=0):
             cls = layer_cls
-            if self.checkpointing and self.remat_levels is not None \
-                    and level_idx not in tuple(self.remat_levels):
-                cls = TransformerLayer
+            if self.checkpointing and self.remat_levels is not None:
+                sel = tuple(self.remat_levels)
+                if level_idx not in sel and prefix not in sel:
+                    cls = TransformerLayer
             def run(x, pos):
                 for i in range(spec.depth):
                     shifted = (i + offset) % 2 == 1
@@ -637,7 +646,7 @@ class ImageTransformerDenoiserModelV2(nn.Module):
         x = RMSNorm(name="out_norm")(x)
         x = TokenSplitWithoutSkip(self.out_channels, self.patch_size,
                                   zero_init=True, dtype=self.dtype,
-                                  name="patch_out")(x)
+                                  name="patch_out")(x, folded=deterministic)
         return x.astype(jnp.float32)
 
 

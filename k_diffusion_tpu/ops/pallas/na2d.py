@@ -626,8 +626,17 @@ def _na_packed_fwd_kernel(q_ref, k_ref, v_ref, mask_ref, o_ref, *res_refs,
                     jnp.concatenate(lses, axis=1).reshape(gq, gc, hb))
 
 
-def _group_sizes(tq):
-    gq = GROUP_ROWS if tq % GROUP_ROWS == 0 else tq
+# The backward is COMPUTE-bound (5 head-masked matmuls per group vs the
+# forward's 2, at batch-32 training shapes), so it prefers coarser row
+# groups than the DMA-bound eval forward: fewer per-group fixed costs beat
+# fewer computed logits. Measured (v5e, b=32 fwd+bwd): l0 gq 2/4/8/16 =
+# 4.92/1.90/1.54/1.92 ms at tile 16, and 1.28 ms at tile 32 + gq 8.
+TRAIN_GROUP_ROWS = 8
+
+
+def _group_sizes(tq, coarse=False):
+    rows = TRAIN_GROUP_ROWS if coarse else GROUP_ROWS
+    gq = rows if tq % rows == 0 else tq
     gc = GROUP_COLS if tq % GROUP_COLS == 0 else tq
     return gq, gc
 
@@ -637,7 +646,8 @@ def _na_packed_fwd(q, k, v, kernel_size, scale, tile, n_heads,
     b, h, w, c = q.shape
     e = c // n_heads
     tq = tile
-    gq, gc = _group_sizes(tq)
+    # save_lse <=> training forward: share the backward's coarser groups
+    gq, gc = _group_sizes(tq, coarse=save_lse)
     nrb, ncb = h // tq, w // tq
     n_cblk, cblk, hb = _packed_geometry(c, e)
     grid = (nrb, ncb, n_cblk, b)
@@ -788,7 +798,7 @@ def _na_packed_bwd(kernel_size, scale, tile, n_heads, res, dout):
     b, h, w, c = q.shape
     e = c // n_heads
     tq = tile
-    gq, gc = _group_sizes(tq)
+    gq, gc = _group_sizes(tq, coarse=True)
     nrb, ncb = h // tq, w // tq
     n_cblk, cblk, hb = _packed_geometry(c, e)
     fwd_masks = _mask_table(h, w, kernel_size, tq, gq, gc)
@@ -852,8 +862,13 @@ def preferred_tile(h, w, training, batch=None):
     at 64x64 c=256) — fixed per-program costs dominate and 64x64 tiles win
     another 12-30%. The backward's per-tile dk/dv halo partials grow with
     tile area and favor 16 (train fwd+bwd 3.38 -> 3.66 ms/call at 32)."""
-    if training or h % 32 or w % 32 or min(h, w) < 64:
+    if h % 32 or w % 32 or min(h, w) < 32:
         return DEFAULT_TILE
+    if training:
+        # with the coarse (gq=8) training groups, 32x32 tiles beat 16
+        # (l0 fwd+bwd 1.54 -> 1.28 ms, l1 0.92 -> 0.66 whole-map); the
+        # earlier tile-32 rejection was measured at gq=4
+        return 32
     if h % 64 == 0 and w % 64 == 0 and (min(h, w) >= 128
                                         or (batch is not None and batch <= 4)):
         return 64

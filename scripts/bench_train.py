@@ -50,7 +50,8 @@ def main():
     ap.add_argument("--batch", type=int, default=32)
     ap.add_argument("--remat", action="store_true")
     ap.add_argument("--remat-policy", type=str, default=None)
-    ap.add_argument("--remat-levels", type=int, nargs="*", default=None)
+    ap.add_argument("--remat-levels", nargs="*", default=None,
+                    type=lambda s: int(s) if s.isdigit() else s)
     ap.add_argument("--only", type=str, default=None,
                     help="comma-separated subset: fwd,grad,opt,full")
     args = ap.parse_args()

@@ -116,6 +116,53 @@ def test_remat_policy_equivalence(policy):
         g1, g2)
 
 
+@pytest.mark.parametrize("levels", [(0,), ("down_0",), ("down_0", "mid")])
+def test_remat_levels_equivalence(levels):
+    """Per-level and per-stack remat selections (remat_levels) must not
+    change gradients — only which activations are saved vs recomputed."""
+    key = jax.random.PRNGKey(0)
+    x = jax.random.normal(key, (2, 16, 16, 3))
+    sigma = jnp.asarray([1.0, 3.0])
+    m1 = tiny_model("neighborhood", checkpointing=False)
+    m2 = tiny_model("neighborhood", checkpointing=True, remat_levels=levels)
+    v = m1.init(key, x, sigma)
+
+    def loss1(p):
+        return jnp.mean(m1.apply({"params": p}, x + 0.1, sigma) ** 2)
+
+    def loss2(p):
+        return jnp.mean(m2.apply({"params": p}, x + 0.1, sigma) ** 2)
+
+    g1 = jax.grad(loss1)(v["params"])
+    g2 = jax.grad(loss2)(v["params"])
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=1e-5),
+        g1, g2)
+
+
+def test_train_eval_patch_path_parity():
+    """Training patches via strided conv while eval uses the folded-einsum
+    formulation (cheaper forward, lane-starved backward); with dropout 0
+    both must produce the same function of the same params."""
+    key = jax.random.PRNGKey(0)
+    x = jax.random.normal(key, (2, 16, 16, 3))
+    sigma = jnp.asarray([1.0, 3.0])
+    model = tiny_model("neighborhood")
+    v = model.init(key, x, sigma)
+    # randomize so the zero-init output head doesn't mask patch_out behavior
+    leaves, treedef = jax.tree_util.tree_flatten(v["params"])
+    keys = jax.random.split(jax.random.fold_in(key, 7), len(leaves))
+    params = treedef.unflatten([
+        jax.random.normal(k, p.shape, p.dtype) * 0.05
+        for k, p in zip(keys, leaves)])
+    out_eval = model.apply({"params": params}, x, sigma)
+    out_train = model.apply({"params": params}, x, sigma, train=True,
+                            rngs={"dropout": jax.random.PRNGKey(1)})
+    np.testing.assert_allclose(np.asarray(out_train), np.asarray(out_eval),
+                               atol=1e-5)
+
+
 def test_class_cond_required():
     model = tiny_model("global", num_classes=10)
     key = jax.random.PRNGKey(0)

@@ -46,10 +46,12 @@ def main():
                    help="the global batch size")
     p.add_argument("--checkpointing", action="store_true",
                    help="enable gradient checkpointing")
-    p.add_argument("--remat-levels", type=int, nargs="*", default=None,
+    p.add_argument("--remat-levels", type=lambda s: int(s) if s.isdigit() else s,
+                   nargs="*", default=None,
                    help="hourglass levels to remat under --checkpointing "
                         "(default all; e.g. '0' remats only the memory-"
-                        "heavy high-res level, cutting the remat tax)")
+                        "heavy high-res level, 'down_0' only its down "
+                        "stack, cutting the remat tax)")
     p.add_argument("--config", type=str, required=True,
                    help="the configuration file")
     p.add_argument("--demo-every", type=int, default=500,
