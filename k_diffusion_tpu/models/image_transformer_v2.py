@@ -277,8 +277,9 @@ class FeedForwardBlock(nn.Module):
                  512 if t % 512 == 0 else (256 if t % 256 == 0 else 0))
         # the fused kernel contains no dropout, so it is exact whenever
         # dropout is inactive — always at inference, and in training for the
-        # dropout=0 blocks (train-eligible: its custom_vjp backward
-        # recomputes through the XLA composition)
+        # dropout=0 blocks (train-eligible: its custom_vjp backward runs the
+        # residual-saving Pallas kernel fused_ffn._ffn_bwd_pallas;
+        # recompute-through-XLA is only the off-TPU fallback)
         from ..ops.pallas import train_fusion_enabled
         use_fused = bool((deterministic
                           or (self.dropout == 0.0 and train_fusion_enabled()))

@@ -31,12 +31,31 @@ class TrainState(flax.struct.PyTreeNode):
     ema_params: Any
 
 
-def make_optimizer(config, param_labels, mapping_lr_scale=1 / 3, max_grad_norm=1.0):
+def make_optimizer(config, param_labels, mapping_lr_scale=1 / 3, max_grad_norm=1.0,
+                   flat=None):
     """Builds the 4-group optimizer {wd, no_wd} x {base lr, mapping lr}
     (reference image_transformer_v2.py:708-719, train.py:153-175) with
-    global-norm clipping fused into the update (train.py:464)."""
+    global-norm clipping fused into the update (train.py:464).
+
+    ``flat``: use the flat-vector AdamW (flatopt.py) instead of the per-leaf
+    optax chain — same update, ~5x fewer device ops. Default: on for adamw
+    (the per-leaf chain remains as the equivalence oracle and the path for
+    adam8bit / sgd)."""
     opt_config = config["optimizer"]
     lr_sched = config_mod.make_lr_schedule(config)
+
+    if flat is None:
+        flat = opt_config["type"] == "adamw"
+    if flat and opt_config["type"] == "adamw":
+        from .flatopt import flat_adamw
+        wd = opt_config["weight_decay"]
+        return flat_adamw(
+            lr_sched,
+            {"wd": (1.0, wd), "no_wd": (1.0, 0.0),
+             "mapping_wd": (mapping_lr_scale, wd),
+             "mapping_no_wd": (mapping_lr_scale, 0.0)},
+            param_labels, b1=opt_config["betas"][0], b2=opt_config["betas"][1],
+            eps=opt_config["eps"], max_grad_norm=max_grad_norm)
 
     def group(lr_scale, weight_decay):
         sched = lambda step: lr_sched(step) * lr_scale

@@ -5,6 +5,7 @@ import json
 
 import jax
 import jax.numpy as jnp
+import optax
 import numpy as np
 import pytest
 
@@ -306,6 +307,48 @@ def test_adam8bit_in_train_step():
         state, m = step(state, batch, jax.random.fold_in(key, i), 0.95)
         losses.append(float(m["loss"]))
     assert losses[-1] < losses[0]
+
+
+def test_flat_adamw_matches_per_leaf_chain():
+    """flatopt.flat_adamw must reproduce the per-leaf optax chain
+    (clip_by_global_norm -> multi_transform over 4 adamw groups) exactly,
+    including a step where clipping activates."""
+    cfg = config_mod.load_config(TINY_CONFIG)
+    model = config_mod.make_model(cfg)
+    key = jax.random.PRNGKey(0)
+    v = model.init(key, jnp.zeros([1, 16, 16, 3]), jnp.ones([1]),
+                   class_cond=jnp.zeros([1], jnp.int32))
+    from k_diffusion_tpu.models import image_transformer_v2 as itv2
+    labels = itv2.param_group_labels(v["params"])
+    opt_flat = training.make_optimizer(cfg, labels)  # default: flat
+    opt_leaf = training.make_optimizer(cfg, labels, flat=False)
+    from k_diffusion_tpu.flatopt import FlatAdamWState
+    assert isinstance(opt_flat.init(v["params"]), FlatAdamWState)
+
+    params_f = params_l = v["params"]
+    s_f = opt_flat.init(params_f)
+    s_l = opt_leaf.init(params_l)
+    leaves, treedef = jax.tree_util.tree_flatten(v["params"])
+    for step in range(3):
+        gkeys = jax.random.split(jax.random.fold_in(key, step), len(leaves))
+        # step 0: large grads (global norm >> 1, clip active); later: small
+        scale = 10.0 if step == 0 else 1e-3
+        grads = treedef.unflatten([
+            jax.random.normal(k, p.shape, jnp.float32) * scale
+            for k, p in zip(gkeys, leaves)])
+        u_f, s_f = opt_flat.update(grads, s_f, params_f)
+        u_l, s_l = opt_leaf.update(grads, s_l, params_l)
+        jax.tree_util.tree_map(
+            lambda a, b: np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-10),
+            u_f, u_l)
+        params_f = optax.apply_updates(params_f, u_f)
+        params_l = optax.apply_updates(params_l, u_l)
+    # the two parameter trajectories stay together
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-8),
+        params_f, params_l)
 
 
 def test_dataloader_epoch_restore():
