@@ -793,6 +793,61 @@ def _scatter_halos_cg(halos, h, w, kk, tq, gq, gc):
     return out
 
 
+def _overlap_add_kernel(dk_h_ref, dv_h_ref, dk_ref, dv_ref, *, h, w, kk, tq,
+                        gq, gc):
+    """In-VMEM overlap-add of the per-(tile, col-group) halo partials into
+    full (h, w) maps. Every slice offset is a PYTHON constant (unrolled
+    loops over tile indices): Mosaic cannot compile a dynamic second-minor
+    (w) offset stacked on a dynamic major offset, and the XLA formulation
+    (_scatter_halos_cg) pays a full-map dynamic-update-slice + layout copy
+    per slab (~0.4 ms/slab at flagship level 0, the single largest
+    train-step overhead after the matmuls themselves)."""
+    r, kr, krw, kg, ng, ngc = _halo_geometry_cg(h, w, kk, tq, gq, gc)
+    rows, cols = _halo_indices_cg(h, w, kk, tq, gq, gc)
+    nrb, ncb = h // tq, w // tq
+    cblk = dk_ref.shape[-1]
+    dk_ref[0] = jnp.zeros_like(dk_ref[0])
+    dv_ref[0] = jnp.zeros_like(dv_ref[0])
+    for j in range(nrb):
+        rs = int(rows[j])
+        for l in range(ncb):
+            for cg in range(ngc):
+                cs = int(cols[l][cg])
+                base = cg * kr * krw
+                for h_ref, o_ref in ((dk_h_ref, dk_ref), (dv_h_ref, dv_ref)):
+                    blk = h_ref[0, j, l, base:base + kr * krw, :] \
+                        .reshape(kr, krw, cblk)
+                    o_ref[0, rs:rs + kr, cs:cs + krw, :] = (
+                        o_ref[0, rs:rs + kr, cs:cs + krw, :] + blk)
+
+
+def _overlap_add_cg(dk_halo, dv_halo, h, w, kk, tq, gq, gc):
+    """(b, nrb, ncb, nk, c) dk/dv halo partials -> (b, h, w, c) maps, as one
+    Pallas kernel over (batch, channel-block). Falls back to the XLA
+    scatter (the correctness spec) when a batch item's partials + maps
+    exceed the VMEM budget."""
+    b, nrb, ncb, nk, c = dk_halo.shape
+    cblk = 128 if c % 128 == 0 else c
+    n_cblk = c // cblk
+    need = 2 * (nrb * ncb * nk + h * w) * cblk * dk_halo.dtype.itemsize
+    if need > 96 * 2**20:
+        return (_scatter_halos_cg(dk_halo, h, w, kk, tq, gq, gc),
+                _scatter_halos_cg(dv_halo, h, w, kk, tq, gq, gc))
+    halo_spec = pl.BlockSpec((1, nrb, ncb, nk, cblk),
+                             lambda i, cb: (i, 0, 0, 0, cb))
+    map_spec = pl.BlockSpec((1, h, w, cblk), lambda i, cb: (i, 0, 0, cb))
+    return pl.pallas_call(
+        functools.partial(_overlap_add_kernel, h=h, w=w, kk=kk, tq=tq,
+                          gq=gq, gc=gc),
+        grid=(b, n_cblk),
+        in_specs=[halo_spec, halo_spec],
+        out_specs=[map_spec, map_spec],
+        out_shape=[jax.ShapeDtypeStruct((b, h, w, c), dk_halo.dtype)] * 2,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=max(32 * 2**20, 2 * need)),
+    )(dk_halo, dv_halo)
+
+
 def _na_packed_bwd(kernel_size, scale, tile, n_heads, res, dout):
     q, k, v, out, lse = res
     b, h, w, c = q.shape
@@ -828,8 +883,7 @@ def _na_packed_bwd(kernel_size, scale, tile, n_heads, res, dout):
                    jax.ShapeDtypeStruct((b, nrb, ncb, nk, c), q.dtype)],
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=64 * 2**20),
     )(q, k_halo, v_halo, dout, out, lse, fwd_masks)
-    dk = _scatter_halos_cg(dk_halo, h, w, kernel_size, tq, gq, gc)
-    dv = _scatter_halos_cg(dv_halo, h, w, kernel_size, tq, gq, gc)
+    dk, dv = _overlap_add_cg(dk_halo, dv_halo, h, w, kernel_size, tq, gq, gc)
     return dq, dk, dv
 
 

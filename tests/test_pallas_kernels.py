@@ -290,3 +290,32 @@ def test_dispatch_falls_back_off_tpu_or_bad_shapes():
     out = na_mod.na2d(q, k, v, 3)
     ref = na_mod.na2d_reference(q, k, v, 3)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
+
+
+@pytest.mark.parametrize("h,w,kk,c", [(32, 32, 7, 128), (16, 16, 7, 256),
+                                      (32, 32, 3, 64)])
+def test_overlap_add_matches_scatter_spec(h, w, kk, c):
+    """The in-VMEM overlap-add kernel (dkv halo partials -> full maps) is
+    bit-exact vs the XLA scatter it replaces (_scatter_halos_cg, the
+    correctness spec). Runs in Pallas interpret mode so this holds on the
+    CPU harness too; the TPU suite compiles the same kernel via the grads
+    test above."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    tq, gq, gc = 16, 4, 16
+    key = jax.random.PRNGKey(7)
+    _, kr, krw, _, _, ngc = na_mod._halo_geometry_cg(h, w, kk, tq, gq, gc)
+    nrb, ncb = h // tq, w // tq
+    nk = ngc * kr * krw
+    dk = jax.random.normal(key, (2, nrb, ncb, nk, c)).astype(jnp.bfloat16)
+    dv = jax.random.normal(jax.random.fold_in(key, 1),
+                           (2, nrb, ncb, nk, c)).astype(jnp.bfloat16)
+    ref = [na_mod._scatter_halos_cg(t, h, w, kk, tq, gq, gc)
+           for t in (dk, dv)]
+    if jax.default_backend() == "tpu":
+        out = na_mod._overlap_add_cg(dk, dv, h, w, kk, tq, gq, gc)
+    else:
+        with pltpu.force_tpu_interpret_mode():
+            out = na_mod._overlap_add_cg(dk, dv, h, w, kk, tq, gq, gc)
+    for a, b in zip(ref, out):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
