@@ -67,7 +67,7 @@ def bench_sampling(config, model, params, key):
     from k_diffusion_tpu import layout, sampling
     from k_diffusion_tpu.denoiser import Denoiser
 
-    batch, steps, reps = 8, 50, 4
+    batch, steps, reps = 8, 50, 8
     sigma_min, sigma_max = config["model"]["sigma_min"], config["model"]["sigma_max"]
     # folded (b, h, w*c) image layout for the sampler algebra (layout.py);
     # bitwise-identical to NHWC, ~20% faster end-to-end
@@ -140,7 +140,11 @@ def bench_512():
 
 def bench_train(config, remat):
     """Full train step (stratified sigmas, loss, grads, clip, 4-group AdamW,
-    EMA) at batch 32, timed over an 8-step scan with a host readback."""
+    EMA) at batch 32, timed over a 32-step scan with one host readback —
+    steady-state convention, like bench_sampling: the ~25 ms per-dispatch /
+    per-readback tunnel RPC of this environment is amortized over the scan
+    (real training dispatches steps asynchronously and never blocks on a
+    per-step host sync; train.py reads metrics every 25 steps)."""
     import optax
     from k_diffusion_tpu import config as config_mod, training
     from k_diffusion_tpu.models import image_transformer_v2 as itv2
@@ -153,7 +157,7 @@ def bench_train(config, remat):
     sample_density = config_mod.make_sample_density(config["model"])
 
     key = jax.random.PRNGKey(0)
-    b, inner = 32, 8
+    b, inner = 32, 32
     reals = jax.random.normal(key, (b, 256, 256, 3))
     variables = jax.jit(model.init)(key, reals[:1], jnp.ones([1]))
     params = variables["params"]
@@ -185,12 +189,11 @@ def bench_train(config, remat):
             return (params, opt_state, ema), loss
         carry, losses = jax.lax.scan(body, (params, opt_state, params),
                                      jnp.arange(inner))
-        return carry[0], losses
+        # one scalar: a single host readback fences the whole scan
+        return jnp.sum(jax.tree_util.tree_leaves(carry[0])[0]) + losses.sum()
 
     def run_once():
-        p, losses = scan_steps(params, opt_state, key)
-        return (float(jnp.sum(jax.tree_util.tree_leaves(p)[0]))
-                + float(losses.sum()))
+        return float(scan_steps(params, opt_state, key))
 
     dt = _median_time(run_once, n_iters=3) / inner
     return b / dt, dt, b

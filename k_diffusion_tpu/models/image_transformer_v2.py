@@ -188,7 +188,8 @@ class SelfAttentionBlock(nn.Module):
                 ks = kk.reshape(b, h * w, n_heads, self.d_head)
                 vs = vv.reshape(b, h * w, n_heads, self.d_head)
                 from ..ops.pallas import flash_attention
-                out = flash_attention(qs, ks, vs, scale=1.0)
+                out = flash_attention(qs, ks, vs, scale=1.0,
+                                      train=not deterministic)
             x = out.reshape(b, h, w, c)
         elif isinstance(self.attn_spec, NeighborhoodAttentionSpec):
             if self.tp_axis:

@@ -20,8 +20,13 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 
 DEFAULT_Q_BLOCK = 256
-# below this, plain XLA SDPA is faster (kernel launch overhead dominates)
+# below this, plain XLA SDPA is faster — measured BOTH ways: eval forward
+# (launch overhead dominates) and the training grad step (A/B at the
+# flagship's 256-token global level: Pallas-at-256 41.3 ms/step vs XLA
+# 40.5 — XLA's materialized f32 probs cost less than the per-(batch*head)
+# grid + pack transposes at this size, r3)
 MIN_PALLAS_SEQ = 512
+MIN_PALLAS_SEQ_TRAIN = 512
 # beyond this seq len the (S, e) kv copies + (TQ, S) logits stop fitting VMEM
 MAX_PALLAS_SEQ = 8192
 
@@ -172,16 +177,18 @@ def _flash_inner_bwd(scale, tq, res, dout):
 _flash_inner.defvjp(_flash_inner_fwd, _flash_inner_bwd)
 
 
-def flash_attention(q, k, v, scale=1.0, q_block=DEFAULT_Q_BLOCK):
+def flash_attention(q, k, v, scale=1.0, q_block=DEFAULT_Q_BLOCK, train=False):
     """Exact global attention. q,k,v: (batch, seq, heads, head_dim).
-    Pallas on TPU for seq <= MAX_PALLAS_SEQ (larger falls back to XLA)."""
+    Pallas on TPU for seq <= MAX_PALLAS_SEQ (larger falls back to XLA);
+    ``train`` lowers the minimum Pallas length (see MIN_PALLAS_SEQ_TRAIN)."""
     b, s, heads, e = q.shape
     from . import xla_forced
+    min_seq = MIN_PALLAS_SEQ_TRAIN if train else MIN_PALLAS_SEQ
     if (jax.default_backend() != "tpu" or xla_forced() or s > MAX_PALLAS_SEQ
-            or s < max(q_block, MIN_PALLAS_SEQ)):
+            or s < min_seq):
         return jax.nn.dot_product_attention(q, k, v, scale=scale)
 
     def pack(t):
         return jnp.moveaxis(t, 2, 1).reshape(b * heads, s, e)
-    out = _flash_inner(pack(q), pack(k), pack(v), scale, q_block)
+    out = _flash_inner(pack(q), pack(k), pack(v), scale, min(q_block, s))
     return jnp.moveaxis(out.reshape(b, heads, s, e), 1, 2)

@@ -8,12 +8,13 @@ tile in VMEM through norm -> up-projection -> GEGLU -> down-projection ->
 skip-add, reading x once and writing the output once; both weight matrices
 stay VMEM-resident across the token grid.
 
-Train-eligible: under differentiation the forward kernel also emits the
-``up`` projection (the GEGLU input) as a residual, so the backward is the
-standard 4-matmul VJP from saved residuals — only the (cheap, VPU-bound)
-RMS norm and GELU are recomputed, not the up/down matmuls. The plain eval
-path runs the single-output kernel (custom_vjp primals only invoke the fwd
-rule under differentiation).
+Train-eligible: the custom_vjp backward RECOMPUTES the up-projection from
+x inside the backward kernel (one extra MXU matmul) instead of saving it as
+a residual — at level-0 shapes the saved (b, t, 2*d_ff) tensor costs ~2x
+more HBM round-trip time than the matmul costs MXU time, so recompute is
+strictly faster AND more faithful (the recomputed f32 activations match the
+forward exactly, where the saved residual was rounded to bf16). The forward
+under differentiation is therefore the plain single-output eval kernel.
 """
 
 import functools
@@ -38,8 +39,7 @@ def _ffn_reference(x, scale, w_up, w_down, eps):
     return x + jnp.einsum("btf,fe->bte", h, w_down.astype(x.dtype))
 
 
-def _ffn_kernel(x_ref, scale_ref, w_up_ref, w_down_ref, o_ref, *res_refs,
-                eps, d_ff):
+def _ffn_kernel(x_ref, scale_ref, w_up_ref, w_down_ref, o_ref, *, eps, d_ff):
     x = x_ref[0]                       # (T, d)
     scale = scale_ref[0]               # (1, d)
     xf = x.astype(jnp.float32)
@@ -49,14 +49,6 @@ def _ffn_kernel(x_ref, scale_ref, w_up_ref, w_down_ref, o_ref, *res_refs,
     up = jax.lax.dot_general(
         xn, w_up_ref[...], dimension_numbers=(((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32)  # (T, 2f)
-    if res_refs:
-        # training: save the GEGLU input for the backward. NOTE: saved
-        # rounded to x.dtype (bf16) while the forward computes GELU from
-        # the f32 up-projection, so the backward's recomputed activations
-        # carry one extra bf16 rounding vs the forward (tested within
-        # 2e-2). Saving f32 would double this residual's HBM cost; revisit
-        # only if gradient fidelity ever outweighs the bandwidth.
-        res_refs[0][0] = up.astype(res_refs[0].dtype)
     a = up[:, :d_ff]
     gate = up[:, d_ff:]
     # erf-gelu via the clamped polynomial (erf_poly.py): no divide/exp on
@@ -70,17 +62,11 @@ def _ffn_kernel(x_ref, scale_ref, w_up_ref, w_down_ref, o_ref, *res_refs,
     o_ref[0] = (out + xf).astype(o_ref.dtype)
 
 
-def _ffn_fwd(x, scale, w_up, w_down, eps, block, save_up=False):
+def _ffn_fwd(x, scale, w_up, w_down, eps, block):
     b, t, d = x.shape
     d_ff = w_down.shape[0]
     grid = (b, pl.cdiv(t, block))
-    out_specs = [pl.BlockSpec((1, block, d), lambda i, j: (i, j, 0))]
-    out_shape = [jax.ShapeDtypeStruct(x.shape, x.dtype)]
-    if save_up:
-        out_specs.append(pl.BlockSpec((1, block, 2 * d_ff),
-                                      lambda i, j: (i, j, 0)))
-        out_shape.append(jax.ShapeDtypeStruct((b, t, 2 * d_ff), x.dtype))
-    res = pl.pallas_call(
+    return pl.pallas_call(
         functools.partial(_ffn_kernel, eps=eps, d_ff=d_ff),
         grid=grid,
         in_specs=[
@@ -89,13 +75,12 @@ def _ffn_fwd(x, scale, w_up, w_down, eps, block, save_up=False):
             pl.BlockSpec((d, 2 * d_ff), lambda i, j: (0, 0)),
             pl.BlockSpec((d_ff, d), lambda i, j: (0, 0)),
         ],
-        out_specs=out_specs if save_up else out_specs[0],
-        out_shape=out_shape if save_up else out_shape[0],
-        # 1024-token blocks with the saved f32 up-projection exceed the
-        # default 16M scoped-vmem budget; the chip has 128M
+        out_specs=pl.BlockSpec((1, block, d), lambda i, j: (i, j, 0)),
+        out_shape=jax.ShapeDtypeStruct(x.shape, x.dtype),
+        # 1024-token blocks with the f32 up-projection exceed the default
+        # 16M scoped-vmem budget; the chip has 128M
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=64 * 2**20),
     )(x, scale[:, None, :], w_up, w_down)
-    return res if save_up else (res, None)
 
 
 def _norm_head(x, scale, w_up, eps):
@@ -116,27 +101,27 @@ def _geglu_tail(up, w_down, x):
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5))
 def _fused_ffn_inner(x, scale, w_up, w_down, eps, block):
-    out, _ = _ffn_fwd(x, scale, w_up, w_down, eps, block)
-    return out
+    return _ffn_fwd(x, scale, w_up, w_down, eps, block)
 
 def _fused_ffn_inner_fwd(x, scale, w_up, w_down, eps, block):
-    # under differentiation: also save the up projection, so the backward
-    # runs the standard 4 matmuls instead of recomputing the forward
-    out, up = _ffn_fwd(x, scale, w_up, w_down, eps, block, save_up=True)
-    return out, (x, scale, w_up, w_down, up)
+    # the backward recomputes the up-projection in-kernel (see module
+    # docstring), so nothing beyond the primal inputs is saved
+    out = _ffn_fwd(x, scale, w_up, w_down, eps, block)
+    return out, (x, scale, w_up, w_down)
 
-def _ffn_bwd_kernel(x_ref, scale_ref, w_up_ref, w_down_ref, up_ref, g_ref,
+def _ffn_bwd_kernel(x_ref, scale_ref, w_up_ref, w_down_ref, g_ref,
                     dx_ref, dscale_ref, dwu_ref, dwd_ref, *, eps, d_ff):
-    """Fused backward: recompute the norm factors and GEGLU activations from
-    the saved up-projection, then the 4 VJP matmuls — with the gelu-backward
-    elementwise chain fused in VMEM instead of XLA materializing dh/dup/h
-    maps in HBM. dW/dscale accumulate across grid programs via output-block
-    revisiting (token blocks are the innermost grid dim)."""
+    """Fused backward: recompute norm factors, the up-projection (one MXU
+    matmul — cheaper than round-tripping the (T, 2f) residual through HBM)
+    and the GEGLU activations, then the 4 VJP matmuls — with the
+    gelu-backward elementwise chain fused in VMEM instead of XLA
+    materializing dh/dup/h maps in HBM. dW/dscale accumulate across grid
+    programs via output-block revisiting (token blocks are the innermost
+    grid dim)."""
     i = pl.program_id(0)
     j = pl.program_id(1)
     x = x_ref[0]                       # (T, d) bf16
     g = g_ref[0]                       # (T, d)
-    up = up_ref[0]                     # (T, 2f)
     s = scale_ref[0]                   # (1, d)
     d = x.shape[-1]
 
@@ -146,8 +131,12 @@ def _ffn_bwd_kernel(x_ref, scale_ref, w_up_ref, w_down_ref, up_ref, g_ref,
     sf = s.astype(jnp.float32)
     xn = (xf * (sf * r)).astype(x.dtype)
 
-    a = up[:, :d_ff].astype(jnp.float32)
-    gate = up[:, d_ff:].astype(jnp.float32)
+    up = jax.lax.dot_general(
+        xn, w_up_ref[...], dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)  # (T, 2f) — matches the fwd
+
+    a = up[:, :d_ff]
+    gate = up[:, d_ff:]
     # erf-gelu fwd + bwd via the clamped polynomials (erf_poly.py):
     # gelu(g) = g * Phi(g); gelu'(g) = Phi(g) + g*phi(g)
     from .erf_poly import gelu_and_grad_poly
@@ -190,7 +179,7 @@ def _ffn_bwd_kernel(x_ref, scale_ref, w_up_ref, w_down_ref, up_ref, g_ref,
     dscale_ref[0] += jnp.sum(dxn * xf * r, axis=0, keepdims=True)  # (1, d)
 
 
-def _ffn_bwd_pallas(x, scale, w_up, w_down, up, g, eps, block):
+def _ffn_bwd_pallas(x, scale, w_up, w_down, g, eps, block):
     b, t, d = x.shape
     d_ff = w_down.shape[0]
     grid = (b, t // block)
@@ -202,7 +191,6 @@ def _ffn_bwd_pallas(x, scale, w_up, w_down, up, g, eps, block):
             pl.BlockSpec((1, 1, d), lambda i, j: (i, 0, 0)),
             pl.BlockSpec((d, 2 * d_ff), lambda i, j: (0, 0)),
             pl.BlockSpec((d_ff, d), lambda i, j: (0, 0)),
-            pl.BlockSpec((1, block, 2 * d_ff), lambda i, j: (i, j, 0)),
             pl.BlockSpec((1, block, d), lambda i, j: (i, j, 0)),
         ],
         out_specs=[
@@ -218,16 +206,17 @@ def _ffn_bwd_pallas(x, scale, w_up, w_down, up, g, eps, block):
             jax.ShapeDtypeStruct((d_ff, d), jnp.float32),
         ],
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=64 * 2**20),
-    )(x, scale[:, None, :], w_up, w_down, up, g)
+    )(x, scale[:, None, :], w_up, w_down, g)
     return (dx, dscale.reshape(b, d).astype(scale.dtype),
             dwu.astype(w_up.dtype), dwd.astype(w_down.dtype))
 
 
 def _fused_ffn_inner_bwd(eps, block, res, g):
-    x, scale, w_up, w_down, up = res
+    x, scale, w_up, w_down = res
     from . import xla_forced
     if jax.default_backend() == "tpu" and not xla_forced():
-        return _ffn_bwd_pallas(x, scale, w_up, w_down, up, g, eps, block)
+        return _ffn_bwd_pallas(x, scale, w_up, w_down, g, eps, block)
+    up = _norm_head(x, scale, w_up, eps)
     _, tail_vjp = jax.vjp(lambda up_, wd_, x_: _geglu_tail(up_, wd_, x_),
                           up, w_down, x)
     dup, dw_down, dx_skip = tail_vjp(g)

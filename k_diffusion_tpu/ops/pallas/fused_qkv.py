@@ -23,11 +23,13 @@ Design notes (all Mosaic-constraint driven):
   below bf16 resolution. The XLA fallback uses the passed-in ``pos`` and is
   bit-identical to the unfused model path.
 
-Train-eligible: the custom_vjp backward splits into the mid-chain vjp
-(RoPE/cosine-sim, XLA elementwise) and a fused Pallas head-chain backward
-(norm recompute + the three VJP matmuls with the f32 norm-backward chain
-kept in VMEM). Forward-mode (log_likelihood) uses the force_xla() escape
-hatch like the other kernels.
+Train-eligible: the custom_vjp backward is one Pallas kernel that
+RECOMPUTES the norm + raw qkv projection from x (one extra MXU matmul —
+cheaper than round-tripping the (b, t, 3d) raw-projection residual through
+HBM, and the recomputed f32 values match the forward kernel exactly where
+the saved residual was rounded to bf16), then runs the RoPE/cosine-sim vjp
+and the three VJP matmuls with the f32 chains kept in VMEM. Forward-mode
+(log_likelihood) uses the force_xla() escape hatch like the other kernels.
 """
 
 import functools
@@ -78,7 +80,7 @@ def _rope_tables(h, w, n_heads, d_head):
 
 
 def _fused_qkv_kernel(x_ref, nscale_ref, wqkv_ref, rootsc_ref, cos_ref,
-                      sin_ref, oq_ref, ok_ref, ov_ref, *res_refs, d, n_heads,
+                      sin_ref, oq_ref, ok_ref, ov_ref, *, d, n_heads,
                       eps, cos_eps):
     tqh, tqw = x_ref.shape[1], x_ref.shape[2]
     nq = tqh * tqw
@@ -93,9 +95,6 @@ def _fused_qkv_kernel(x_ref, nscale_ref, wqkv_ref, rootsc_ref, cos_ref,
     qkv = jax.lax.dot_general(
         xn, wqkv_ref[...], dimension_numbers=(((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32)  # (nq, 3d) f32
-    if res_refs:  # training: save the raw projection for the backward
-        res_refs[0][0] = qkv.astype(res_refs[0].dtype).reshape(tqh, tqw, 3 * d)
-
     q = qkv[:, :d]
     k = qkv[:, d:2 * d]
     v = qkv[:, 2 * d:]
@@ -149,8 +148,7 @@ def _reference(x, pos, norm_scale, w_qkv, attn_scale, n_heads, eps, cos_eps):
             v.reshape(b, h, w, d))
 
 
-def _fused_fwd(x, norm_scale, w_qkv, attn_scale, n_heads, eps, cos_eps, tile,
-               save_raw=False):
+def _fused_fwd(x, norm_scale, w_qkv, attn_scale, n_heads, eps, cos_eps, tile):
     b, h, w, d = x.shape
     cos_t, sin_t = _rope_tables(h, w, n_heads, d // n_heads)
     grid = (b, h // tile, w // tile)
@@ -160,10 +158,6 @@ def _fused_fwd(x, norm_scale, w_qkv, attn_scale, n_heads, eps, cos_eps, tile,
     out_spec = pl.BlockSpec((1, tile, tile, d), lambda i, j, l: (i, j, l, 0))
     out_specs = [out_spec, out_spec, out_spec]
     out_shape = [out_sds, out_sds, out_sds]
-    if save_raw:
-        out_specs.append(pl.BlockSpec((1, tile, tile, 3 * d),
-                                      lambda i, j, l: (i, j, l, 0)))
-        out_shape.append(jax.ShapeDtypeStruct((b, h, w, 3 * d), x.dtype))
     root = jnp.repeat(jnp.sqrt(attn_scale.astype(jnp.float32)), d // n_heads)
     res = pl.pallas_call(
         kernel,
@@ -238,37 +232,44 @@ def _mid_chain_packed(qkv_raw, attn_scale, n_heads, cos_eps):
 
 def _fused_qkv_fwd_rule(x, pos, norm_scale, w_qkv, attn_scale, n_heads, eps,
                         cos_eps, tile):
-    # under differentiation: also save the raw qkv projection, so the
-    # backward runs the standard residual VJP instead of recomputing the
-    # whole prologue (only the cheap RMS norm is recomputed)
-    from .remat_names import name_tree, QKV_RAW
-    q, k, v, qkv_raw = _fused_fwd(x, norm_scale, w_qkv, attn_scale, n_heads,
-                                  eps, cos_eps, tile, save_raw=True)
-    return (q, k, v), (x, pos, norm_scale, w_qkv, attn_scale,
-                       name_tree(qkv_raw, QKV_RAW))
+    # the backward recomputes the raw qkv projection in-kernel (see module
+    # docstring), so only the primal inputs are saved
+    q, k, v = _fused_fwd(x, norm_scale, w_qkv, attn_scale, n_heads,
+                         eps, cos_eps, tile)
+    return (q, k, v), (x, pos, norm_scale, w_qkv, attn_scale)
 
 
-def _prologue_bwd_kernel(x_ref, ns_ref, wq_ref, raw_ref, rootsc_ref, cos_ref,
+def _prologue_bwd_kernel(x_ref, ns_ref, wq_ref, rootsc_ref, cos_ref,
                          sin_ref, gq_ref, gk_ref, gv_ref,
                          dx_ref, dns_ref, dwq_ref, das_ref, *, d, n_heads,
                          eps, cos_eps):
-    """The whole prologue backward in one kernel: RoPE vjp (same laneswap
-    structure as the forward, order flipped: dx = cos*g + swap(sin*g)),
-    cosine-sim vjp (per-head sums via the block-diagonal-ones matmul),
-    dwq/dxn matmuls, and the f32 RMS-norm backward — with every
-    intermediate (incl. dqkv_raw, which the XLA chain materializes at
-    (b, t, 3d)) staying in VMEM. dwq/dns/das accumulate via output-block
-    revisiting; das is emitted as per-lane sums of g*qn (the tiny
-    (heads,)-reduction and /2*attn_scale finish in XLA)."""
+    """The whole prologue backward in one kernel: recompute norm + raw qkv
+    (one MXU matmul — cheaper than reading a saved (T, 3d) residual from
+    HBM), RoPE vjp (same laneswap structure as the forward, order flipped:
+    dx = cos*g + swap(sin*g)), cosine-sim vjp (per-head sums via the
+    block-diagonal-ones matmul), dwq/dxn matmuls, and the f32 RMS-norm
+    backward — with every intermediate (incl. dqkv_raw, which the XLA chain
+    materializes at (b, t, 3d)) staying in VMEM. dwq/dns/das accumulate via
+    output-block revisiting; das is emitted as per-lane sums of g*qn (the
+    tiny (heads,)-reduction and /2*attn_scale finish in XLA)."""
     i = pl.program_id(0)
     j = pl.program_id(1)
     e = d // n_heads
     x = x_ref[0]                       # (T, d)
-    raw = raw_ref[0]                   # (T, 3d)
     s = ns_ref[0]                      # (1, d)
     root = rootsc_ref[0]               # (1, d)
     cos_t = cos_ref[0].astype(jnp.float32)   # (T, d)
     sin_t = sin_ref[0].astype(jnp.float32)
+
+    # --- recompute the head chain: norm + raw qkv projection ---
+    xf = x.astype(jnp.float32)
+    ms = jnp.mean(xf * xf, axis=-1, keepdims=True)
+    r = jax.lax.rsqrt(ms + eps)
+    sf = s.astype(jnp.float32)
+    xn = (xf * (sf * r)).astype(x.dtype)
+    raw = jax.lax.dot_general(
+        xn, wq_ref[...], dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)  # (T, 3d) — matches the fwd
 
     # --- mid-chain vjp: (gq, gk) -> d(raw q), d(raw k) ---
     row = jax.lax.broadcasted_iota(jnp.int32, (d, d), 0) // e
@@ -301,8 +302,8 @@ def _prologue_bwd_kernel(x_ref, ns_ref, wq_ref, raw_ref, rootsc_ref, cos_ref,
 
     gq = rope_vjp(gq_ref[0].astype(jnp.float32))
     gk = rope_vjp(gk_ref[0].astype(jnp.float32))
-    q_raw = raw[:, :d].astype(jnp.float32)
-    k_raw = raw[:, d:2 * d].astype(jnp.float32)
+    q_raw = raw[:, :d]
+    k_raw = raw[:, d:2 * d]
     dq_raw, das_q = cossim_vjp(q_raw, gq)
     dk_raw, das_k = cossim_vjp(k_raw, gk)
     dr = jnp.concatenate(
@@ -316,13 +317,8 @@ def _prologue_bwd_kernel(x_ref, ns_ref, wq_ref, raw_ref, rootsc_ref, cos_ref,
 
     das_ref[0] += das_q + das_k
 
-    # --- head-chain vjp: dr -> dx, dns, dwq ---
-    xf = x.astype(jnp.float32)
-    ms = jnp.mean(xf * xf, axis=-1, keepdims=True)
-    r = jax.lax.rsqrt(ms + eps)
-    sf = s.astype(jnp.float32)
-    xn = (xf * (sf * r)).astype(x.dtype)
-
+    # --- head-chain vjp: dr -> dx, dns, dwq (xf/r/sf/xn from the
+    # recompute at the top) ---
     dwq_ref[...] += jax.lax.dot_general(
         xn, dr, dimension_numbers=(((0,), (0,)), ((), ())),
         preferred_element_type=jnp.float32)          # (d, 3d)
@@ -342,7 +338,7 @@ def _prologue_bwd_kernel(x_ref, ns_ref, wq_ref, raw_ref, rootsc_ref, cos_ref,
     dns_ref[0] += jnp.sum(dxn * xf * r, axis=0, keepdims=True)  # (1, d)
 
 
-def _prologue_bwd_pallas(x, norm_scale, w_qkv, attn_scale, qkv_raw,
+def _prologue_bwd_pallas(x, norm_scale, w_qkv, attn_scale,
                          gq, gk, gv, n_heads, eps, cos_eps):
     b, h, w, d = x.shape
     t = h * w
@@ -361,7 +357,6 @@ def _prologue_bwd_pallas(x, norm_scale, w_qkv, attn_scale, qkv_raw,
             tok_d,
             pl.BlockSpec((1, 1, d), lambda i, j: (i, 0, 0)),
             pl.BlockSpec((d, 3 * d), lambda i, j: (0, 0)),
-            pl.BlockSpec((1, block, 3 * d), lambda i, j: (i, j, 0)),
             pl.BlockSpec((1, d), lambda i, j: (0, 0)),
             tab_d,
             tab_d,
@@ -382,8 +377,8 @@ def _prologue_bwd_pallas(x, norm_scale, w_qkv, attn_scale, qkv_raw,
             jax.ShapeDtypeStruct((1, 1, d), jnp.float32),
         ],
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=64 * 2**20),
-    )(x.reshape(b, t, d), norm_scale[:, None, :], w_qkv,
-      qkv_raw.reshape(b, t, 3 * d), root[None],
+    )(x.reshape(b, t, d), norm_scale[:, None, :], w_qkv.astype(x.dtype),
+      root[None],
       jnp.asarray(cos_t).reshape(1, t, d), jnp.asarray(sin_t).reshape(1, t, d),
       gq.reshape(b, t, d), gk.reshape(b, t, d), gv.reshape(b, t, d))
     das = (das_lanes.reshape(n_heads, d // n_heads).sum(axis=1)
@@ -394,14 +389,15 @@ def _prologue_bwd_pallas(x, norm_scale, w_qkv, attn_scale, qkv_raw,
 
 
 def _fused_qkv_bwd_rule(n_heads, eps, cos_eps, tile, res, g):
-    x, pos, norm_scale, w_qkv, attn_scale, qkv_raw = res
+    x, pos, norm_scale, w_qkv, attn_scale = res
     from . import xla_forced
     if jax.default_backend() == "tpu" and not xla_forced():
         gq, gk, gv = g
         dx, dns, dwq, das = _prologue_bwd_pallas(
-            x, norm_scale, w_qkv, attn_scale, qkv_raw, gq, gk, gv,
+            x, norm_scale, w_qkv, attn_scale, gq, gk, gv,
             n_heads, eps, cos_eps)
         return dx, jnp.zeros_like(pos), dns, dwq, das
+    qkv_raw = _head_chain(x, norm_scale, w_qkv, eps)
     _, mid_vjp = jax.vjp(
         lambda qr_, as_: _mid_chain_packed(qr_, as_, n_heads, cos_eps),
         qkv_raw, attn_scale)

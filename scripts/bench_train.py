@@ -8,6 +8,7 @@ Times, each as a lax.scan over INNER iterations with a host-readback fence
   - full train step (fwd+bwd+clip+opt+EMA)
 
 Usage: python scripts/bench_train.py [--batch 32] [--remat] [--fused]
+                                     [--inner 32]
 """
 
 import argparse
@@ -25,14 +26,14 @@ os.makedirs("/root/.cache/jax_comp_cache", exist_ok=True)
 jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_comp_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
 
-INNER = 8
+INNER = 32  # steady-state: amortizes the ~25 ms/dispatch+readback tunnel RPC
 
 
 def fence(x):
     return float(jnp.sum(jax.tree_util.tree_leaves(x)[0]))
 
 
-def timeit(run, label, reps=3):
+def timeit(run, label, reps=3, inner=INNER):
     run()  # compile
     run()  # warmup
     ts = []
@@ -40,7 +41,7 @@ def timeit(run, label, reps=3):
         t0 = time.time()
         run()
         ts.append(time.time() - t0)
-    dt = sorted(ts)[reps // 2] / INNER
+    dt = sorted(ts)[reps // 2] / inner
     print(f"{label:32s} {dt * 1e3:8.2f} ms/iter")
     return dt
 
@@ -54,7 +55,9 @@ def main():
                     type=lambda s: int(s) if s.isdigit() else s)
     ap.add_argument("--only", type=str, default=None,
                     help="comma-separated subset: fwd,grad,opt,full")
+    ap.add_argument("--inner", type=int, default=INNER)
     args = ap.parse_args()
+    inner = args.inner
 
     import __graft_entry__
     from k_diffusion_tpu import config as config_mod, training
@@ -102,9 +105,10 @@ def main():
         def scan_fwd(params, key):
             def body(acc, i):
                 return acc + loss_fn(params, jax.random.fold_in(key, i)), None
-            acc, _ = jax.lax.scan(body, jnp.float32(0), jnp.arange(INNER))
+            acc, _ = jax.lax.scan(body, jnp.float32(0), jnp.arange(inner))
             return acc
-        t_fwd = timeit(lambda: fence(scan_fwd(params, key)), "forward loss")
+        t_fwd = timeit(lambda: fence(scan_fwd(params, key)), "forward loss",
+                       inner=inner)
     else:
         t_fwd = 0.0
 
@@ -118,11 +122,22 @@ def main():
                 sq = sum(jnp.sum(jnp.square(g))
                          for g in jax.tree_util.tree_leaves(grads))
                 return acc + loss + sq * 1e-20, None
-            acc, _ = jax.lax.scan(body, jnp.float32(0), jnp.arange(INNER))
+            acc, _ = jax.lax.scan(body, jnp.float32(0), jnp.arange(inner))
             return acc
-        t_grad = timeit(lambda: fence(scan_grad(params, key)), "forward+backward")
+        t_grad = timeit(lambda: fence(scan_grad(params, key)),
+                        "forward+backward", inner=inner)
     else:
         t_grad = 0.0
+
+    ema0 = params
+
+    def opt_tail(grads, opt_state, params, ema):
+        """The train step's post-gradient tail (training.py step_fn)."""
+        from k_diffusion_tpu.utils import ema_update
+        updates, opt_state = opt.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        ema = ema_update(params, ema, 0.99)
+        return params, opt_state, ema
 
     # 3. optimizer + EMA only (fixed grads)
     if only is None or "opt" in only:
@@ -130,19 +145,15 @@ def main():
 
         @jax.jit
         def scan_opt(params, opt_state, grads):
-            from k_diffusion_tpu.utils import ema_update
-            ema = params
             def body(carry, _):
                 params, opt_state, ema = carry
-                updates, opt_state = opt.update(grads, opt_state, params)
-                params = optax.apply_updates(params, updates)
-                ema = ema_update(params, ema, 0.99)
+                params, opt_state, ema = opt_tail(grads, opt_state, params, ema)
                 return (params, opt_state, ema), None
-            carry, _ = jax.lax.scan(body, (params, opt_state, ema),
-                                    None, length=INNER)
+            carry, _ = jax.lax.scan(body, (params, opt_state, ema0),
+                                    None, length=inner)
             return carry[0]
         t_opt = timeit(lambda: fence(scan_opt(params, opt_state, grads)),
-                       "clip+optimizer+EMA")
+                       "clip+optimizer+EMA", inner=inner)
     else:
         t_opt = 0.0
 
@@ -150,23 +161,20 @@ def main():
     if only is None or "full" in only:
         @jax.jit
         def scan_full(params, opt_state, key):
-            from k_diffusion_tpu.utils import ema_update
-            ema = params
             def body(carry, i):
                 params, opt_state, ema = carry
                 loss, grads = jax.value_and_grad(loss_fn)(
                     params, jax.random.fold_in(key, i))
-                updates, opt_state = opt.update(grads, opt_state, params)
-                params = optax.apply_updates(params, updates)
-                ema = ema_update(params, ema, 0.99)
+                params, opt_state, ema = opt_tail(grads, opt_state, params, ema)
                 return (params, opt_state, ema), loss
-            carry, losses = jax.lax.scan(body, (params, opt_state, ema),
-                                         jnp.arange(INNER))
-            return carry[0], losses
+            carry, losses = jax.lax.scan(body, (params, opt_state, ema0),
+                                         jnp.arange(inner))
+            # one scalar so a single readback fences the scan
+            return (jnp.sum(jax.tree_util.tree_leaves(carry[0])[0])
+                    + losses.sum())
         def run_full():
-            p, losses = scan_full(params, opt_state, key)
-            return fence(p) + float(losses.sum())
-        t_full = timeit(run_full, "full train step")
+            return float(scan_full(params, opt_state, key))
+        t_full = timeit(run_full, "full train step", inner=inner)
         print(f"\nimgs/sec/chip (full step): {b / t_full:.1f}")
 
     if (only is None) and t_grad and t_fwd:

@@ -23,7 +23,7 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
 INNER = 8
 
 
-def parse_xplane(trace_dir, top=40, inner=INNER):
+def parse_xplane(trace_dir, top=40, inner=INNER, cat_filter=None):
     sys.path.insert(0, "/opt/venv/lib/python3.12/site-packages")
     from tensorflow.tsl.profiler.protobuf import xplane_pb2
     paths = glob.glob(os.path.join(trace_dir, "**", "*.xplane.pb"),
@@ -71,8 +71,10 @@ def parse_xplane(trace_dir, top=40, inner=INNER):
         for cat, ms in cats.most_common():
             print(f"{ms/inner:9.3f}  {cat}")
         print("--- top ops:")
-        for name, ms in totals.most_common(top * 3):
+        for name, ms in totals.most_common(top * 20):
             if category(name).startswith("async"):
+                continue
+            if cat_filter and cat_filter not in category(name):
                 continue
             print(f"{ms/inner:9.3f} ms/iter  x{max(1, counts[name]//inner):<4d}"
                   f" {name[:110]}")
@@ -89,6 +91,8 @@ def main():
     ap.add_argument("--remat-policy", type=str, default=None)
     ap.add_argument("--top", type=int, default=40)
     ap.add_argument("--trace-dir", default="/tmp/kdt_trace")
+    ap.add_argument("--cat", default=None,
+                    help="only show top ops whose category contains this")
     args = ap.parse_args()
 
     import __graft_entry__
@@ -122,6 +126,28 @@ def main():
             def body(acc, i):
                 return acc + loss_fn(params, jax.random.fold_in(key, i)), None
             return jax.lax.scan(body, jnp.float32(0), jnp.arange(INNER))[0]
+    elif args.what == "full":
+        import optax
+        from k_diffusion_tpu import training
+        from k_diffusion_tpu.models import image_transformer_v2 as itv2
+        from k_diffusion_tpu.utils import ema_update
+        opt = training.make_optimizer(config, itv2.param_group_labels(params))
+        opt_state0 = opt.init(params)
+
+        @jax.jit
+        def scan(params, key):
+            def body(carry, i):
+                params, opt_state, ema = carry
+                loss, grads = jax.value_and_grad(loss_fn)(
+                    params, jax.random.fold_in(key, i))
+                updates, opt_state = opt.update(grads, opt_state, params)
+                params = optax.apply_updates(params, updates)
+                ema = ema_update(params, ema, 0.99)
+                return (params, opt_state, ema), loss
+            carry, losses = jax.lax.scan(body, (params, opt_state0, params),
+                                         jnp.arange(INNER))
+            return losses.sum() + sum(
+                jnp.sum(l) for l in jax.tree_util.tree_leaves(carry[0])[:1])
     else:
         @jax.jit
         def scan(params, key):
@@ -143,7 +169,7 @@ def main():
     jax.profiler.start_trace(args.trace_dir)
     run()
     jax.profiler.stop_trace()
-    parse_xplane(args.trace_dir, top=args.top)
+    parse_xplane(args.trace_dir, top=args.top, cat_filter=args.cat)
 
 
 if __name__ == "__main__":

@@ -61,7 +61,7 @@ def test_flash_grads_match_xla():
     q, k, v = [t * 0.3 for t in (q, k, v)]
 
     def lp(q, k, v):
-        return jnp.sum(fl_mod.flash_attention(q, k, v) ** 2)
+        return jnp.sum(fl_mod.flash_attention(q, k, v, train=True) ** 2)
 
     def lx(q, k, v):
         return jnp.sum(jax.nn.dot_product_attention(q, k, v, scale=1.0) ** 2)
