@@ -111,14 +111,18 @@ def main():
     params = jax.jit(model.init)(key, reals[:1], jnp.ones([1]))["params"]
 
     def loss_fn(params, key):
+        from k_diffusion_tpu import layout
         k_sig, k_noise, k_drop = jax.random.split(key, 3)
         sigma = sample_density(k_sig, (b,))
-        den = den_factory(
+        # folded image layout, matching training.py / bench_train.py
+        den = den_factory(layout.folded_model_fn(
             lambda x, s, **kw: model.apply({"params": params}, x, s,
                                            train=True,
-                                           rngs={"dropout": k_drop}, **kw))
-        noise = jax.random.normal(k_noise, reals.shape, reals.dtype)
-        return jnp.mean(den.loss(reals, noise, sigma))
+                                           rngs={"dropout": k_drop}, **kw),
+            reals.shape[-1]))
+        reals_f = layout.fold_images(reals)
+        noise = jax.random.normal(k_noise, reals_f.shape, reals_f.dtype)
+        return jnp.mean(den.loss(reals_f, noise, sigma))
 
     if args.what == "fwd":
         @jax.jit
