@@ -475,10 +475,14 @@ def _halo_indices_cg(h, w, kk, tq, gq, gc):
 
 
 def _extract_halos_cg(x, kk, tq, gq, gc):
-    """(n, h, w, e) -> (n, nrb, ncb, ngc*kr*krw, e): per-(tile, col-group)
+    """(n, h, w, e) -> (nrb, ncb, n, ngc*kr*krw, e): per-(tile, col-group)
     halo slabs, stored contiguously per column group so the kernel's
     row-group slice [cg*kr*krw + og*krw : + kg*krw] is a flat sublane
-    slice. Built from STATIC slices (see _extract_halos on why)."""
+    slice. Built from STATIC slices (see _extract_halos on why). The TILE
+    dims lead (batch third): each stacked slice is a contiguous (n, nk, e)
+    block in its natural slice layout, so XLA emits the gather directly in
+    the standard layout the Pallas operand requires — with batch leading it
+    inserted a ~0.18 ms relayout copy per halo array (6+ per step)."""
     n, h, w, e = x.shape
     r, kr, krw, kg, ng, ngc = _halo_geometry_cg(h, w, kk, tq, gq, gc)
     rows, cols = _halo_indices_cg(h, w, kk, tq, gq, gc)
@@ -487,12 +491,16 @@ def _extract_halos_cg(x, kk, tq, gq, gc):
     for j in range(nrb):
         rs = int(rows[j])
         for l in range(ncb):
+            slabs = []
             for cg in range(ngc):
                 cs = int(cols[l][cg])
-                tiles.append(jax.lax.slice(
-                    x, (0, rs, cs, 0), (n, rs + kr, cs + krw, e)))
-    halos = jnp.stack(tiles, axis=1)       # (n, nrb*ncb*ngc, kr, krw, e)
-    return halos.reshape(n, nrb, ncb, ngc * kr * krw, e)
+                slabs.append(jax.lax.slice(
+                    x, (0, rs, cs, 0),
+                    (n, rs + kr, cs + krw, e)).reshape(n, kr * krw, e))
+            tiles.append(jnp.concatenate(slabs, axis=1) if ngc > 1
+                         else slabs[0])
+    halos = jnp.stack(tiles, axis=0)       # (nrb*ncb, n, nk, e)
+    return halos.reshape(nrb, ncb, n, ngc * kr * krw, e)
 
 
 @functools.lru_cache
@@ -656,8 +664,9 @@ def _na_packed_fwd(q, k, v, kernel_size, scale, tile, n_heads,
     k_halo = _extract_halos_cg(k, kernel_size, tq, gq, gc)
     v_halo = _extract_halos_cg(v, kernel_size, tq, gq, gc)
     nk = k_halo.shape[3]
+    # halos are tile-major (nrb, ncb, n, nk, c) — see _extract_halos_cg
     halo_spec = pl.BlockSpec((1, 1, 1, nk, cblk),
-                             lambda j, l, cb, i: (i, j, l, 0, cb))
+                             lambda j, l, cb, i: (j, l, i, 0, cb))
     tile_spec = pl.BlockSpec((1, tq, tq, cblk),
                              lambda j, l, cb, i: (i, j, l, cb))
     out_specs = [tile_spec]
@@ -862,8 +871,9 @@ def _na_packed_bwd(kernel_size, scale, tile, n_heads, res, dout):
     k_halo = _extract_halos_cg(k, kernel_size, tq, gq, gc)
     v_halo = _extract_halos_cg(v, kernel_size, tq, gq, gc)
     nk = k_halo.shape[3]
+    # halos are tile-major (nrb, ncb, n, nk, c) — see _extract_halos_cg
     halo_spec = pl.BlockSpec((1, 1, 1, nk, cblk),
-                             lambda j, l, cb, i: (i, j, l, 0, cb))
+                             lambda j, l, cb, i: (j, l, i, 0, cb))
     tile_c = pl.BlockSpec((1, tq, tq, cblk),
                           lambda j, l, cb, i: (i, j, l, cb))
     tile_h = pl.BlockSpec((1, 1, tq, tq, hb),
