@@ -184,12 +184,21 @@ class SelfAttentionBlock(nn.Module):
                 qq, kk, vv = (qp, kp, vp) if q is None else (
                     q.reshape(b, h, w, c), k.reshape(b, h, w, c),
                     v.reshape(b, h, w, c))
-                qs = qq.reshape(b, h * w, n_heads, self.d_head)
-                ks = kk.reshape(b, h * w, n_heads, self.d_head)
-                vs = vv.reshape(b, h * w, n_heads, self.d_head)
-                from ..ops.pallas import flash_attention
-                out = flash_attention(qs, ks, vs, scale=1.0,
-                                      train=not deterministic)
+                from ..ops.pallas import (flash_attention,
+                                          packed_global_attention,
+                                          packed_global_ok)
+                if packed_global_ok(h * w, c, self.d_head):
+                    # short-sequence path (the hourglass mid level): stays
+                    # in the channel-packed layout, logits never leave VMEM
+                    out = packed_global_attention(
+                        qq.reshape(b, h * w, c), kk.reshape(b, h * w, c),
+                        vv.reshape(b, h * w, c), n_heads, scale=1.0)
+                else:
+                    qs = qq.reshape(b, h * w, n_heads, self.d_head)
+                    ks = kk.reshape(b, h * w, n_heads, self.d_head)
+                    vs = vv.reshape(b, h * w, n_heads, self.d_head)
+                    out = flash_attention(qs, ks, vs, scale=1.0,
+                                          train=not deterministic)
             x = out.reshape(b, h, w, c)
         elif isinstance(self.attn_spec, NeighborhoodAttentionSpec):
             if self.tp_axis:

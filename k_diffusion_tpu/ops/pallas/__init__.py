@@ -36,11 +36,13 @@ def train_fusion_enabled():
 
 from .na2d import na2d, na2d_packed, na2d_packed_proj, na2d_reference  # noqa: E402
 from .flash import flash_attention  # noqa: E402
+from .global_packed import packed_global_attention, packed_global_ok  # noqa: E402
 from .fused_ffn import fused_geglu_ffn  # noqa: E402
 from .fused_qkv import fused_qkv_prologue  # noqa: E402
 from .fused_mapping import fused_mapping  # noqa: E402
 
 __all__ = ["na2d", "na2d_packed", "na2d_packed_proj", "na2d_reference",
-           "flash_attention", "fused_geglu_ffn", "fused_qkv_prologue",
+           "flash_attention", "packed_global_attention", "packed_global_ok",
+           "fused_geglu_ffn", "fused_qkv_prologue",
            "fused_mapping", "force_xla", "xla_forced",
            "train_fusion_enabled"]

@@ -15,6 +15,7 @@ requires_tpu = pytest.mark.skipif(
 
 na_mod = importlib.import_module("k_diffusion_tpu.ops.pallas.na2d")
 fl_mod = importlib.import_module("k_diffusion_tpu.ops.pallas.flash")
+gp_mod = importlib.import_module("k_diffusion_tpu.ops.pallas.global_packed")
 
 
 def _qkv(key, shape, dtype=jnp.float32):
@@ -69,6 +70,40 @@ def test_flash_grads_match_xla():
     gp = jax.grad(lp, argnums=(0, 1, 2))(q, k, v)
     gx = jax.grad(lx, argnums=(0, 1, 2))(q, k, v)
     for a, b in zip(gp, gx):
+        scale = max(1.0, float(jnp.abs(b).max()))
+        np.testing.assert_allclose(
+            np.asarray(a) / scale, np.asarray(b) / scale, atol=2e-3)
+
+
+@requires_tpu
+@pytest.mark.parametrize("s,c,heads", [(256, 512, 8), (256, 256, 4),
+                                       (64, 128, 2), (1024, 128, 1)])
+def test_packed_global_matches_reference(s, c, heads):
+    # the hourglass mid level's channel-packed global attention kernel
+    q, k, v = _qkv(jax.random.PRNGKey(7), (2, s, c))
+    q, k, v = [t * 0.3 for t in (q, k, v)]
+    out_p = gp_mod.packed_global_attention(q, k, v, heads, scale=1.0)
+    out_x = gp_mod._reference(q, k, v, heads, 1.0)
+    np.testing.assert_allclose(np.asarray(out_p), np.asarray(out_x),
+                               atol=2e-3)
+
+
+@requires_tpu
+@pytest.mark.parametrize("s,c,heads", [(256, 512, 8), (256, 128, 2)])
+def test_packed_global_grads_match_reference(s, c, heads):
+    q, k, v = _qkv(jax.random.PRNGKey(8), (2, s, c))
+    q, k, v = [t * 0.3 for t in (q, k, v)]
+
+    def lp(q, k, v):
+        return jnp.sum(
+            gp_mod.packed_global_attention(q, k, v, heads) ** 2)
+
+    def lx(q, k, v):
+        return jnp.sum(gp_mod._reference(q, k, v, heads, 1.0) ** 2)
+
+    gpv = jax.grad(lp, argnums=(0, 1, 2))(q, k, v)
+    gx = jax.grad(lx, argnums=(0, 1, 2))(q, k, v)
+    for a, b in zip(gpv, gx):
         scale = max(1.0, float(jnp.abs(b).max()))
         np.testing.assert_allclose(
             np.asarray(a) / scale, np.asarray(b) / scale, atol=2e-3)

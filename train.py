@@ -563,11 +563,13 @@ def main():
 
                 step += 1
                 host["step"] = step
-                if step % args.demo_every == 0:
+                if args.demo_every > 0 and step % args.demo_every == 0:
                     demo(step)
                 if evaluate_enabled and step > 0 and step % args.evaluate_every == 0:
                     evaluate(step)
-                if step == args.end_step or (step > 0 and step % args.save_every == 0):
+                if step == args.end_step or (
+                        args.save_every > 0 and step > 0
+                        and step % args.save_every == 0):
                     if args.gns:
                         drain_gns()  # checkpoint the estimator fully up to date
                     save(step)
