@@ -691,7 +691,11 @@ def _na_packed_fwd(q, k, v, kernel_size, scale, tile, n_heads,
         out_specs=out_specs if save_lse else out_specs[0],
         out_shape=out_shape if save_lse else out_shape[0],
     )(q, k_halo, v_halo, masks)
-    return res if save_lse else (res, None)
+    # training forward: hand the materialized halo slabs to the backward as
+    # residuals — the backward consumes the SAME (tq, gq, gc) geometry, and
+    # re-extracting them there costs ~0.1 ms/slab of pad/concat fusions that
+    # XLA cannot CSE across the checkpoint_name residual boundary
+    return (*res, k_halo, v_halo) if save_lse else (res, None)
 
 
 def _na_packed_dqkv_kernel(q_ref, k_ref, v_ref, do_ref, o_ref, lse_ref,
@@ -858,7 +862,7 @@ def _overlap_add_cg(dk_halo, dv_halo, h, w, kk, tq, gq, gc):
 
 
 def _na_packed_bwd(kernel_size, scale, tile, n_heads, res, dout):
-    q, k, v, out, lse = res
+    q, k_halo, v_halo, out, lse = res
     b, h, w, c = q.shape
     e = c // n_heads
     tq = tile
@@ -868,8 +872,6 @@ def _na_packed_bwd(kernel_size, scale, tile, n_heads, res, dout):
     fwd_masks = _mask_table(h, w, kernel_size, tq, gq, gc)
     ng_t, gnq, gnk = (fwd_masks.shape[2], fwd_masks.shape[3],
                       fwd_masks.shape[4])
-    k_halo = _extract_halos_cg(k, kernel_size, tq, gq, gc)
-    v_halo = _extract_halos_cg(v, kernel_size, tq, gq, gc)
     nk = k_halo.shape[3]
     # halos are tile-major (nrb, ncb, n, nk, c) — see _extract_halos_cg
     halo_spec = pl.BlockSpec((1, 1, 1, nk, cblk),
@@ -903,13 +905,15 @@ def _na2d_packed_inner(q, k, v, kernel_size, scale, tile, n_heads):
     return out
 
 def _na2d_packed_fwd_rule(q, k, v, kernel_size, scale, tile, n_heads):
-    # under differentiation: also save the per-head logsumexp map, so the
-    # backward runs the packed dq/dkv kernels directly (no unpack transposes
-    # and no forward recompute)
+    # under differentiation: also save the per-head logsumexp map AND the
+    # forward's column-grouped k/v halo slabs (the backward shares the
+    # forward's (tq, gq, gc) geometry, so saving them skips the pad/concat
+    # re-extraction), so the backward runs the packed dq/dkv kernels
+    # directly (no unpack transposes and no forward recompute)
     from .remat_names import name_tree, ATTN_OUT, ATTN_QKV
-    out, lse = _na_packed_fwd(q, k, v, kernel_size, scale, tile, n_heads,
-                              save_lse=True)
-    return out, (*name_tree((q, k, v), ATTN_QKV),
+    out, lse, k_halo, v_halo = _na_packed_fwd(
+        q, k, v, kernel_size, scale, tile, n_heads, save_lse=True)
+    return out, (*name_tree((q, k_halo, v_halo), ATTN_QKV),
                  *name_tree((out, lse), ATTN_OUT))
 
 def _na2d_packed_bwd_rule(kernel_size, scale, tile, n_heads, res, dout):
