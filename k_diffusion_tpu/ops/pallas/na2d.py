@@ -873,6 +873,19 @@ def _na_packed_bwd(kernel_size, scale, tile, n_heads, res, dout):
     ng_t, gnq, gnk = (fwd_masks.shape[2], fwd_masks.shape[3],
                       fwd_masks.shape[4])
     nk = k_halo.shape[3]
+    # The saved halo slabs come from _na_packed_fwd(save_lse=True), which
+    # shares this backward's coarse (tq, gq, gc) group geometry. If either
+    # side's group choice drifts, the slab geometry silently mismatches the
+    # mask table and produces wrong gradients — fail loudly instead.
+    _, kr, krw, _, _, ngc = _halo_geometry_cg(h, w, kernel_size, tq, gq, gc)
+    expect_nk = ngc * kr * krw
+    assert (nk == expect_nk
+            and k_halo.shape == (nrb, ncb, b, expect_nk, c)
+            and v_halo.shape == k_halo.shape), (
+        f"saved NA halo slab geometry {k_halo.shape} does not match the "
+        f"backward's coarse groups (expected (nrb={nrb}, ncb={ncb}, b={b}, "
+        f"nk={expect_nk}, c={c})): forward/backward _group_sizes choices "
+        f"have diverged")
     # halos are tile-major (nrb, ncb, n, nk, c) — see _extract_halos_cg
     halo_spec = pl.BlockSpec((1, 1, 1, nk, cblk),
                              lambda j, l, cb, i: (j, l, i, 0, cb))

@@ -19,7 +19,13 @@ from jax.ad_checkpoint import checkpoint_name
 # (O(b*h*w*(c+heads))), and keeping them elides the whole attention-forward
 # re-run in the rematerialized backward (dq/dkv read them directly)
 ATTN_OUT = "attn_out"
-# the q/k/v maps consumed by the attention kernel (3 x b*h*w*c)
+# the q/k/v tensors consumed by the attention kernel. For the global/flash
+# paths these are the plain maps (3 x b*h*w*c). For the packed NA path the
+# named residuals are q plus the column-grouped K/V HALO SLABS
+# (na2d._extract_halos_cg output, ~(tq+k-1)/tq * (gc+k-1)/gc per-axis
+# duplication ≈ 1.5-2x larger than the raw maps EACH at the shipped train
+# tiles) — so a save_only_these_names policy keeping ATTN_QKV holds
+# ~q + 2*(1.5-2x) maps, not 3 maps.
 ATTN_QKV = "attn_qkv"
 # the fused prologue's raw qkv projection (b*h*w*3c): keeping it elides the
 # prologue matmul re-run (only the cheap VPU mid-chain is recomputed)
