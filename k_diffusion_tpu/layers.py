@@ -21,8 +21,14 @@ from .denoiser import Denoiser, DenoiserWithVariance, SimpleLossDenoiser  # noqa
 
 class FourierFeatures(nn.Module):
     """Random Fourier embedding with a fixed gaussian basis
-    (reference layers.py:285-293). The basis is a deterministic function of
-    the shape (seed 0x5EED), not a checkpointed buffer."""
+    (reference layers.py:285-293). The torch reference stores the basis as a
+    state_dict *buffer* (randn, never trained); here it is a ``basis`` param
+    with a deterministic init (seed 0x5EED) frozen via stop_gradient — same
+    function as a fixed projection, but portable: reference checkpoints'
+    Fourier buffers land in the param tree (scripts/port_reference_checkpoint
+    .py) instead of being lost. ``basis`` is (in, out//2) = the transpose of
+    the reference's (out//2, in) weight. Classified no-wd by the taxonomy, so
+    the frozen value survives AdamW (zero grad => zero Adam update)."""
 
     in_features: int
     out_features: int
@@ -31,9 +37,12 @@ class FourierFeatures(nn.Module):
     @nn.compact
     def __call__(self, x):
         assert self.out_features % 2 == 0
-        weight = jax.random.normal(
-            jax.random.PRNGKey(0x5EED),
-            (self.in_features, self.out_features // 2), jnp.float32) * self.std
+        basis = self.param(
+            "basis",
+            lambda _key, shape: jax.random.normal(
+                jax.random.PRNGKey(0x5EED), shape, jnp.float32) * self.std,
+            (self.in_features, self.out_features // 2))
+        weight = jax.lax.stop_gradient(basis.astype(jnp.float32))
         f = 2 * math.pi * (x.astype(jnp.float32) @ weight)
         return jnp.concatenate([jnp.cos(f), jnp.sin(f)], axis=-1).astype(x.dtype)
 

@@ -106,9 +106,13 @@ class SelfAttentionBlockV1(nn.Module):
         q = rope(q, pos)
         k = rope(k, pos)
 
-        # back to (b, l, heads, e) for the flash kernel
+        # back to (b, l, heads, e) for the flash kernel. The reference's
+        # sdpa applies the default 1/sqrt(d_head) ON TOP of QKNorm
+        # (reference :62-75 -> F.scaled_dot_product_attention), so logits
+        # are q.k/sqrt(d) with ||q||~||k||~exp(0.5 s - 0.25 log d).
         out = flash_attention(jnp.moveaxis(q, 1, 2), jnp.moveaxis(k, 1, 2),
-                              jnp.moveaxis(v, 1, 2), scale=1.0)
+                              jnp.moveaxis(v, 1, 2),
+                              scale=self.d_head ** -0.5)
         x = out.reshape(b, l, self.d_model)
         x = nn.Dropout(self.dropout)(x, deterministic=deterministic)
         x = nn.Dense(self.d_model, use_bias=False,

@@ -117,7 +117,8 @@ def test_itv1_forward_grads():
         model.apply({"params": p}, x, sigma, class_cond=cls) ** 2))(params)
     zero = [p for p, gg in
             jax.tree_util.tree_leaves_with_path(g)
-            if float(jnp.abs(gg).max()) == 0]
+            if float(jnp.abs(gg).max()) == 0
+            and p[-1].key != "basis"]  # FourierFeatures bases are frozen
     assert not zero, zero
 
 

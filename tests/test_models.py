@@ -62,8 +62,14 @@ def test_model_grad_flows_everywhere():
 
     grads = jax.grad(loss_fn)(params)
     flat = traverse_util.flatten_dict(grads)
-    zero_paths = ["/".join(p) for p, g in flat.items() if float(jnp.abs(g).max()) == 0]
+    # FourierFeatures bases are frozen buffers (stop_gradient) by design —
+    # the reference keeps them as untrained state_dict buffers too.
+    zero_paths = ["/".join(p) for p, g in flat.items()
+                  if float(jnp.abs(g).max()) == 0 and p[-1] != "basis"]
     assert not zero_paths, zero_paths
+    frozen = [p for p in flat if p[-1] == "basis"]
+    assert frozen, "expected FourierFeatures basis params in the tree"
+    assert all(float(jnp.abs(flat[p]).max()) == 0 for p in frozen)
 
 
 def test_checkpointing_equivalence():

@@ -1,0 +1,259 @@
+"""Cross-framework parity: the flax models compute the SAME FUNCTION as the
+reference torch models through ported weights.
+
+For each family the test (a) instantiates the reference torch model on CPU
+(reference import via scripts/reference_compat.py: eager mode + module
+stubs), (b) randomizes every torch parameter (zero-init output heads included,
+so every layer is numerically active), (c) ports the state_dict with
+scripts/port_reference_checkpoint.py, and (d) asserts forward equality in f32
+at tight tolerance.  A sampler-trajectory test additionally runs 10-step
+fixed-noise sample_dpmpp_2m through BOTH frameworks' samplers + denoiser
+wrappers and compares the outputs.
+
+Covers SURVEY hard-part #6 (init distributions, preconditioner wiring,
+RoPE/QK-norm conventions, TokenMerge/Split channel order).  Reference:
+models/image_transformer_v2.py:667-762, models/image_transformer_v1.py:280-344,
+models/image_v1.py:89-176.
+"""
+
+import os
+import sys
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from flax import traverse_util
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "scripts"))
+
+import k_diffusion_tpu as K
+
+if not os.path.isdir("/root/reference"):
+    pytest.skip("reference checkout not available", allow_module_level=True)
+
+from port_reference_checkpoint import port_state_dict, strip_prefix  # noqa: E402
+from reference_compat import load_reference  # noqa: E402
+
+
+@pytest.fixture(scope="module")
+def ref_k():
+    return load_reference()
+
+
+def _randomize_(model, seed=0):
+    """Fill every torch *parameter* with seeded randn * 0.05 (buffers — the
+    Fourier bases, deterministic RoPE freqs, resample kernels — keep their
+    init values; the Fourier bases are ported, the rest are closed-form)."""
+    import torch
+
+    g = torch.Generator().manual_seed(seed)
+    with torch.no_grad():
+        for p in model.parameters():
+            p.copy_(torch.randn(p.shape, generator=g, dtype=torch.float32) * 0.05)
+    return model
+
+
+def _port_into_template(ref_model, my_model, init_args, model_type):
+    """Port the (randomized) reference state_dict and check it is congruent
+    with my model's init tree (same paths, same shapes)."""
+    params = port_state_dict(model_type, ref_model.state_dict())
+    template = my_model.init(jax.random.PRNGKey(0), *init_args[0],
+                             **init_args[1])["params"]
+    flat_t = traverse_util.flatten_dict(template)
+    flat_p = traverse_util.flatten_dict(params)
+    missing = sorted(set(flat_t) - set(flat_p))
+    extra = sorted(set(flat_p) - set(flat_t))
+    assert not missing and not extra, (missing, extra)
+    for path, v in flat_p.items():
+        assert v.shape == flat_t[path].shape, (path, v.shape, flat_t[path].shape)
+    return jax.tree_util.tree_map(jnp.asarray, params)
+
+
+def _assert_close(mine_nhwc, ref_nchw, rtol=2e-4, atol=2e-4):
+    ref = np.moveaxis(ref_nchw.detach().cpu().numpy(), 1, -1)
+    mine = np.asarray(mine_nhwc)
+    np.testing.assert_allclose(mine, ref, rtol=rtol, atol=atol)
+
+
+def test_forward_parity_hdit_global(ref_k):
+    """config_mnist_transformer: single-level global-attention HDiT."""
+    import torch
+
+    cfg_path = "/root/reference/configs/config_mnist_transformer.json"
+    ref_cfg = ref_k.config.load_config(cfg_path)
+    ref_model = _randomize_(ref_k.config.make_model(ref_cfg).eval(), seed=1)
+
+    cfg = K.config.load_config(cfg_path)
+    model = K.config.make_model(cfg)
+
+    rng = np.random.default_rng(7)
+    x = rng.standard_normal((2, 1, 28, 28), dtype=np.float32)
+    sigma = np.float32([0.5, 3.0])
+    cls = np.int64([3, 10])
+    aug = rng.standard_normal((2, 9), dtype=np.float32) * 0.3
+
+    x_j = jnp.moveaxis(jnp.asarray(x), 1, -1)
+    init_args = ((x_j, jnp.asarray(sigma)),
+                 dict(aug_cond=jnp.asarray(aug), class_cond=jnp.asarray(cls)))
+    params = _port_into_template(ref_model, model, init_args,
+                                 "image_transformer_v2")
+
+    with torch.no_grad():
+        ref_out = ref_model(torch.from_numpy(x), torch.from_numpy(sigma),
+                            aug_cond=torch.from_numpy(aug),
+                            class_cond=torch.from_numpy(cls))
+    out = model.apply({"params": params}, x_j, jnp.asarray(sigma),
+                      aug_cond=jnp.asarray(aug), class_cond=jnp.asarray(cls))
+    _assert_close(out, ref_out)
+
+
+def test_forward_parity_hdit_shifted_window(ref_k):
+    """Two-level hourglass with shifted-window attention (the oxford-flowers
+    architecture at reduced size): exercises TokenMerge/TokenSplit/lerp-skip,
+    window alternation, and the deterministic RoPE freq check."""
+    import torch
+
+    cfg_path = "/root/reference/configs/config_oxford_flowers_shifted_window.json"
+    ref_cfg = ref_k.config.load_config(cfg_path)
+    # reduce: keep the architecture shape (3 levels: shifted-window x2 +
+    # global mid) but 1 layer per level; zero dropout (see image_v1 note)
+    overrides = {"depths": [1, 1, 1], "dropout_rate": [0.0, 0.0, 0.0]}
+    ref_cfg["model"].update(overrides)
+    ref_model = _randomize_(ref_k.config.make_model(ref_cfg).eval(), seed=2)
+
+    cfg = K.config.load_config(cfg_path)
+    cfg["model"].update(overrides)
+    model = K.config.make_model(cfg)
+
+    rng = np.random.default_rng(8)
+    # 64x64 image -> 16x16 tokens at level 0 (window 8), 8x8 at mid
+    x = rng.standard_normal((1, 3, 64, 64), dtype=np.float32)
+    sigma = np.float32([1.7])
+
+    x_j = jnp.moveaxis(jnp.asarray(x), 1, -1)
+    init_args = ((x_j, jnp.asarray(sigma)), {})
+    params = _port_into_template(ref_model, model, init_args,
+                                 "image_transformer_v2")
+
+    with torch.no_grad():
+        ref_out = ref_model(torch.from_numpy(x), torch.from_numpy(sigma))
+    out = model.apply({"params": params}, x_j, jnp.asarray(sigma))
+    _assert_close(out, ref_out)
+
+
+def test_forward_parity_itv1(ref_k):
+    """ImageTransformerDenoiserModelV1 (no shipped config — built directly):
+    learned axial RoPE, QKNorm clamp, channel-major patching."""
+    import torch
+
+    ref_model = ref_k.models.ImageTransformerDenoiserModelV1(
+        n_layers=2, d_model=128, d_ff=256, in_features=3, out_features=3,
+        patch_size=(2, 2), num_classes=0, dropout=0.0).eval()
+    _randomize_(ref_model, seed=3)
+
+    model = K.models.image_transformer_v1.ImageTransformerDenoiserModelV1(
+        n_layers=2, d_model=128, d_ff=256, in_features=3, out_features=3,
+        patch_size=(2, 2), num_classes=0, dropout=0.0)
+
+    rng = np.random.default_rng(9)
+    x = rng.standard_normal((2, 3, 16, 16), dtype=np.float32)
+    sigma = np.float32([0.2, 5.0])
+    aug = rng.standard_normal((2, 9), dtype=np.float32) * 0.3
+
+    x_j = jnp.moveaxis(jnp.asarray(x), 1, -1)
+    init_args = ((x_j, jnp.asarray(sigma)), dict(aug_cond=jnp.asarray(aug)))
+    params = _port_into_template(ref_model, model, init_args,
+                                 "image_transformer_v1")
+
+    with torch.no_grad():
+        ref_out = ref_model(torch.from_numpy(x), torch.from_numpy(sigma),
+                            aug_cond=torch.from_numpy(aug))
+    out = model.apply({"params": params}, x_j, jnp.asarray(sigma),
+                      aug_cond=jnp.asarray(aug))
+    _assert_close(out, ref_out)
+
+
+def test_forward_parity_image_v1(ref_k):
+    """config_mnist: EDM U-Net (AdaGN FiLM order, conv layouts, fixed
+    resampling, interleaved res/attn blocks, augment wrapper)."""
+    import torch
+
+    cfg_path = "/root/reference/configs/config_mnist.json"
+    ref_cfg = ref_k.config.load_config(cfg_path)
+    # dropout_rate must be zeroed for eval parity: the reference passes
+    # dropout_p to F.scaled_dot_product_attention UNCONDITIONALLY (reference
+    # layers.py:197), so its attention dropout fires even under .eval() —
+    # with the shipped 0.05 the torch forward is nondeterministic.
+    ref_cfg["model"]["dropout_rate"] = 0.0
+    ref_model = _randomize_(ref_k.config.make_model(ref_cfg).eval(), seed=4)
+
+    cfg = K.config.load_config(cfg_path)
+    cfg["model"]["dropout_rate"] = 0.0
+    model = K.config.make_model(cfg)
+
+    rng = np.random.default_rng(10)
+    x = rng.standard_normal((1, 1, 32, 32), dtype=np.float32)
+    sigma = np.float32([0.8])
+    aug = rng.standard_normal((1, 9), dtype=np.float32) * 0.3
+
+    x_j = jnp.moveaxis(jnp.asarray(x), 1, -1)
+    # reference wraps in KarrasAugmentWrapper (aug_cond -> mapping_cond,
+    # reference augmentation.py:92-104); this repo folds the 9 aug dims into
+    # mapping_cond_dim directly
+    init_args = ((x_j, jnp.asarray(sigma)),
+                 dict(mapping_cond=jnp.asarray(aug)))
+    params = _port_into_template(ref_model, model, init_args, "image_v1")
+
+    with torch.no_grad():
+        ref_out = ref_model(torch.from_numpy(x), torch.from_numpy(sigma),
+                            aug_cond=torch.from_numpy(aug))
+    out = model.apply({"params": params}, x_j, jnp.asarray(sigma),
+                      mapping_cond=jnp.asarray(aug))
+    _assert_close(out, ref_out, rtol=5e-4, atol=5e-4)
+
+
+def test_sampler_trajectory_parity(ref_k):
+    """10-step fixed-noise sample_dpmpp_2m through BOTH frameworks' Denoiser
+    wrappers + samplers with the ported weights must agree (reference
+    sampling.py:594-619)."""
+    import torch
+
+    cfg_path = "/root/reference/configs/config_mnist_transformer.json"
+    ref_cfg = ref_k.config.load_config(cfg_path)
+    ref_inner = _randomize_(ref_k.config.make_model(ref_cfg).eval(), seed=5)
+    ref_denoiser = ref_k.config.make_denoiser_wrapper(ref_cfg)(ref_inner)
+
+    cfg = K.config.load_config(cfg_path)
+    model = K.config.make_model(cfg)
+
+    rng = np.random.default_rng(11)
+    noise = rng.standard_normal((2, 1, 28, 28), dtype=np.float32)
+    cls = np.int64([1, 8])
+    sigmas = np.asarray(
+        K.sampling.get_sigmas_karras(10, 1e-2, 80.0, rho=7.0), np.float32)
+
+    x_j = jnp.moveaxis(jnp.asarray(noise), 1, -1)
+    init_args = ((x_j, jnp.ones((2,), jnp.float32)),
+                 dict(class_cond=jnp.asarray(cls)))
+    params = _port_into_template(ref_inner, model, init_args,
+                                 "image_transformer_v2")
+
+    with torch.no_grad():
+        ref_x = torch.from_numpy(noise) * float(sigmas[0])
+        ref_out = ref_k.sampling.sample_dpmpp_2m(
+            lambda x, s: ref_denoiser(x, s, class_cond=torch.from_numpy(cls)),
+            ref_x, torch.from_numpy(sigmas), disable=True)
+
+    wrap = K.config.make_denoiser_wrapper(cfg)(
+        lambda x, s, **kw: model.apply({"params": params}, x, s, **kw))
+    out = K.sampling.sample_dpmpp_2m(
+        lambda x, s, **kw: wrap(x, s, class_cond=jnp.asarray(cls)),
+        x_j * float(sigmas[0]), jnp.asarray(sigmas))
+    _assert_close(out, ref_out, rtol=1e-3, atol=1e-3)
+
+
+def test_strip_prefix():
+    sd = {"inner_model.a.weight": 1, "inner_model.b.bias": 2}
+    assert strip_prefix(sd) == {"a.weight": 1, "b.bias": 2}
+    assert strip_prefix({"a": 1}) == {"a": 1}
