@@ -101,14 +101,22 @@ def main():
     print("Sampling...")
     key = jax.random.PRNGKey(args.seed)
 
+    num_classes = config["dataset"].get("num_classes", 0)
+
     def sample_fn(n):
         nonlocal key
-        key, k_noise, k_samp = jax.random.split(key, 3)
+        key, k_noise, k_cls, k_samp = jax.random.split(key, 4)
         x = jax.random.normal(
             k_noise, [args.batch_size, size[0], size[1],
                       model_config["input_channels"]]) * float(sigmas[0])
+        extra = {}
+        if num_classes:
+            # class-conditional model: random classes (same convention as
+            # sample.py; the reference CLI predates class-conditional ckpts)
+            extra["class_cond"] = jax.random.randint(
+                k_cls, [args.batch_size], 0, num_classes)
         x_0 = K.sampling.sample_dpmpp_2s_ancestral(
-            model_fn, x, sigmas, eta=1.0, key=k_samp)
+            model_fn, x, sigmas, eta=1.0, extra_args=extra, key=k_samp)
         return x_0[:n]
 
     x_0 = K.evaluation.compute_features(sample_fn, lambda x: x, args.n,

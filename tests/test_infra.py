@@ -409,3 +409,28 @@ def test_train_cli_resume_restores_data_epoch(tmp_path, monkeypatch):
     monkeypatch.setattr(sys, "argv", argv2)
     train_cli.main()
     assert seen["epoch"] == 3
+
+
+def test_starvation_monitor():
+    """train.py warns when the loader feeds batches slower than the device
+    consumes them (>25% of wall time waiting), and stays quiet otherwise."""
+    import train as train_cli
+
+    # fast loader: 1% wait -> no warning
+    mon = train_cli.StarvationMonitor()
+    for _ in range(25):
+        mon.record(wait_s=0.001, step_s=0.1)
+    assert mon.check() is None
+
+    # starved: 50% wait -> warning names rates; window resets after check
+    for _ in range(25):
+        mon.record(wait_s=0.1, step_s=0.1)
+    warn = mon.check()
+    assert warn is not None and "starving" in warn and "batches/s" in warn
+    assert mon.check() is None  # window reset, below min_steps
+
+    # below min_steps: never warns
+    mon2 = train_cli.StarvationMonitor(min_steps=10)
+    for _ in range(5):
+        mon2.record(1.0, 0.1)
+    assert mon2.check() is None

@@ -39,6 +39,48 @@ from k_diffusion_tpu import (augmentation, checkpoint, config as config_mod,
                              training)
 
 
+class StarvationMonitor:
+    """Warns when the input pipeline can't feed the device (the measured
+    loader rate is below the device consumption rate).  The reference relies
+    on torch DataLoader workers and never checks (reference train.py:238-239);
+    at TPU rates (see PERFORMANCE.md 'Input pipeline') host JPEG decode is a
+    real bottleneck, so starvation is made loud instead of silent.
+
+    ``record(wait_s, step_s)`` per step; ``check()`` at the print cadence
+    returns the warning string (and resets the window) when more than
+    ``threshold`` of wall time was spent waiting on the loader."""
+
+    def __init__(self, threshold=0.25, min_steps=10):
+        self.threshold = threshold
+        self.min_steps = min_steps
+        self.wait_s = 0.0
+        self.step_s = 0.0
+        self.n = 0
+
+    def record(self, wait_s, step_s):
+        self.wait_s += max(0.0, wait_s)
+        self.step_s += max(0.0, step_s)
+        self.n += 1
+
+    def check(self):
+        if self.n < self.min_steps:
+            return None
+        total = self.wait_s + self.step_s
+        frac = self.wait_s / total if total > 0 else 0.0
+        wait_s, step_s, n = self.wait_s, self.step_s, self.n
+        self.wait_s = self.step_s = 0.0
+        self.n = 0
+        if frac <= self.threshold:
+            return None
+        loader_rate = n / total if total else 0.0
+        device_rate = n / step_s if step_s else float("inf")
+        return (f"WARNING: input pipeline is starving the device: "
+                f"{frac:.0%} of wall time spent waiting on the data loader "
+                f"({loader_rate:.2f} batches/s fed vs {device_rate:.2f} "
+                f"batches/s consumed). Raise --num-workers, use the native "
+                f"loader (make -C native), or add host cores.")
+
+
 def main():
     p = argparse.ArgumentParser(description=__doc__,
                                 formatter_class=argparse.ArgumentDefaultsHelpFormatter)
@@ -486,10 +528,13 @@ def main():
     lr_sched = config_mod.make_lr_schedule(config)
     spec_batch = jax.sharding.PartitionSpec(None, parallel.DATA_AXIS)
 
+    starvation = StarvationMonitor()
+    t_body_end = None
     try:
         while True:
             for batch in train_dl:
                 t0 = time.time()
+                data_wait = t0 - t_body_end if t_body_end is not None else 0.0
                 b = batch["image"].shape[0]
                 if b != local_batch_size * accum:
                     continue
@@ -533,7 +578,9 @@ def main():
                     # reference gns.py:5-34)
                     gns_pending.append((metrics["grad_sq_norm_small"],
                                         metrics["grad_sq_norm_big"]))
-                host["elapsed"] += time.time() - t0
+                t_body_end = time.time()
+                host["elapsed"] += t_body_end - t0
+                starvation.record(data_wait, t_body_end - t0)
 
                 if step % 25 == 0 or use_wandb:
                     for dev_loss, decay in losses_since_last_print:
@@ -550,6 +597,9 @@ def main():
                     gns_str = f", gns: {gns_stats.get_gns():g}" if args.gns else ""
                     print(f"Epoch: {epoch}, step: {step}, loss: {loss_disp:g}, "
                           f"avg loss: {avg_loss:g}{gns_str}", flush=True)
+                    warn = starvation.check()
+                    if warn:
+                        print(warn, flush=True)
                 if use_wandb:
                     import wandb
                     log_dict = {"epoch": epoch, "loss": loss,
