@@ -10,8 +10,18 @@ Reference behavior (train.py:397-423, 269-311; convert_for_inference.py):
 Here the train state is one pytree serialized with flax msgpack (the
 TPU-native analog of the single .pth), and the safetensors export uses
 '/'-joined pytree paths as tensor names.
+
+Pod scale: the msgpack path round-trips the full state through one host —
+fine at 61M params, wrong for sharded multi-host state. ``*_sharded``
+variants write per-shard TensorStore files via orbax (each host writes only
+its addressable shards, save is async) and restore each shard directly to
+its device per the template's shardings. A checkpoint path that is a
+directory is an orbax checkpoint; ``load_checkpoint`` dispatches on that, so
+the two formats interoperate behind one resume flow (reference
+train.py:397-423's single .pth has the same single-host limitation).
 """
 
+import atexit
 import json
 from pathlib import Path
 
@@ -35,10 +45,88 @@ def save_checkpoint(path, state, host_state):
 
 def load_checkpoint(path, state_template):
     """Returns (state, host_state); ``state_template`` supplies the pytree
-    structure (an initialized TrainState)."""
+    structure (an initialized TrainState). A directory path is an orbax
+    sharded checkpoint and dispatches to ``load_checkpoint_sharded``."""
+    if Path(path).is_dir():
+        return load_checkpoint_sharded(path, state_template)
     payload = serialization.msgpack_restore(Path(path).read_bytes())
     state = serialization.from_state_dict(state_template, payload["state"])
     return state, payload["host"]
+
+
+_ASYNC_CHECKPOINTER = None
+
+
+def _async_checkpointer():
+    """One process-wide orbax AsyncCheckpointer (creating one per save leaks
+    its thread pool); finalized at exit so queued saves always commit."""
+    global _ASYNC_CHECKPOINTER
+    if _ASYNC_CHECKPOINTER is None:
+        import orbax.checkpoint as ocp
+        _ASYNC_CHECKPOINTER = ocp.AsyncCheckpointer(ocp.StandardCheckpointHandler())
+        atexit.register(wait_for_checkpoints)
+    return _ASYNC_CHECKPOINTER
+
+
+def wait_for_checkpoints():
+    """Blocks until any in-flight async sharded save has committed."""
+    if _ASYNC_CHECKPOINTER is not None:
+        _ASYNC_CHECKPOINTER.wait_until_finished()
+
+
+def save_checkpoint_sharded(path, state, host_state, async_save=True):
+    """Pod-scale checkpoint: the state pytree goes to per-shard TensorStore
+    files under the ``path`` directory (every host writes only its
+    addressable shards — no single-host gather), the small host-side state to
+    a msgpack sidecar written by process 0. ``async_save`` returns after the
+    device->host copy of local shards; serialization overlaps training and is
+    fenced by the next save / ``wait_for_checkpoints()`` / exit."""
+    import orbax.checkpoint as ocp
+
+    path = Path(path).absolute()
+    path.parent.mkdir(parents=True, exist_ok=True)
+    if jax.process_index() == 0:
+        Path(f"{path}_host.msgpack").write_bytes(
+            serialization.msgpack_serialize({"host": host_state}))
+    if async_save:
+        ckptr = _async_checkpointer()
+        ckptr.wait_until_finished()  # one in-flight save at a time
+    else:
+        ckptr = ocp.StandardCheckpointer()
+    ckptr.save(path, args=ocp.args.StandardSave(
+        serialization.to_state_dict(state)), force=True)
+    if not async_save:
+        ckptr.close()
+    return path
+
+
+def load_checkpoint_sharded(path, state_template, shardings=None):
+    """Sharded restore: each shard is read straight to the device(s) the
+    template's (or the explicit ``shardings`` pytree's) sharding places it
+    on. Returns (state, host_state) like ``load_checkpoint``."""
+    import orbax.checkpoint as ocp
+
+    path = Path(path).absolute()
+    template_sd = serialization.to_state_dict(state_template)
+    shardings_sd = (serialization.to_state_dict(shardings)
+                    if shardings is not None else None)
+
+    def to_abstract(x, s=None):
+        sharding = s if s is not None else getattr(x, "sharding", None)
+        dtype = x.dtype if hasattr(x, "dtype") else np.asarray(x).dtype
+        return jax.ShapeDtypeStruct(np.shape(x), dtype, sharding=sharding)
+
+    if shardings_sd is not None:
+        abstract = jax.tree_util.tree_map(to_abstract, template_sd, shardings_sd)
+    else:
+        abstract = jax.tree_util.tree_map(to_abstract, template_sd)
+    with_ckptr = ocp.StandardCheckpointer()
+    restored = with_ckptr.restore(path, abstract)
+    with_ckptr.close()
+    state = serialization.from_state_dict(state_template, restored)
+    host_payload = serialization.msgpack_restore(
+        Path(f"{path}_host.msgpack").read_bytes())
+    return state, host_payload["host"]
 
 
 def write_state_json(name, ckpt_path):

@@ -266,6 +266,12 @@ class DataLoader:
         self.process_index = process_index
         self.process_count = process_count
         self.epoch = 0
+        # mid-epoch resume: the next __iter__ skips this many batches (index
+        # math only — nothing is decoded), then resets to 0. train.py sets it
+        # from the checkpointed batch_in_epoch so a resumed run consumes
+        # exactly the batches the interrupted run would have (the reference's
+        # sampler-epoch restore, train.py:269-293, replays the whole epoch)
+        self.start_batch = 0
         self._native_ok = None
 
     def _local_len(self):
@@ -313,7 +319,9 @@ class DataLoader:
         n_batches = len(self)
         batch_idxs = [order[i * self.batch_size:(i + 1) * self.batch_size]
                       for i in range(n_batches)]
-        it = iter(range(n_batches))
+        start = min(self.start_batch, n_batches)
+        self.start_batch = 0
+        it = iter(range(start, n_batches))
         lock = threading.Lock()
         results = {}
         cv = threading.Condition()
@@ -337,7 +345,7 @@ class DataLoader:
                    for _ in range(self.num_workers)]
         for t in threads:
             t.start()
-        for j in range(n_batches):
+        for j in range(start, n_batches):
             with cv:
                 while j not in results:
                     cv.wait()

@@ -88,6 +88,10 @@ def main():
                    help="the global batch size")
     p.add_argument("--checkpointing", action="store_true",
                    help="enable gradient checkpointing")
+    p.add_argument("--checkpoint-format", type=str, default="msgpack",
+                   choices=["msgpack", "orbax"],
+                   help="orbax = sharded per-host async save (pod scale); "
+                        "msgpack = single-file single-host (reference-style)")
     p.add_argument("--remat-levels", type=lambda s: int(s) if s.isdigit() else s,
                    nargs="*", default=None,
                    help="hourglass levels to remat under --checkpointing "
@@ -299,6 +303,9 @@ def main():
         # epoch-0 batches after a resume (reference train.py:269-293 restores
         # the sampler epoch the same way)
         train_dl.epoch = host["epoch"]
+        # ... and the position within it, so the resumed run consumes exactly
+        # the batches the interrupted run would have (bit-identical resume)
+        train_dl.start_batch = host.get("batch_in_epoch", 0)
         if args.gns and host.get("gns_stats"):
             gns_stats.load_state_dict(host["gns_stats"])
     if args.reset_ema:
@@ -453,7 +460,7 @@ def main():
             print("Evaluating...")
         sigmas = sampling.get_sigmas_karras(50, sigma_min, sigma_max, rho=7.0)
 
-        @jax.jit
+        @partial(jax.jit, static_argnums=2)
         def sample_fn_jit(ema_params, k, n_static):
             den = make_cfg_model_fn(ema_denoiser(ema_params, folded=True))
             kx, kc = jax.random.split(k)
@@ -497,6 +504,15 @@ def main():
         host["step"] = step
         host["ema_sched"] = ema_sched.state_dict()
         host["gns_stats"] = gns_stats.state_dict() if gns_stats else None
+        if args.checkpoint_format == "orbax":
+            # all processes participate (each writes its own shards, async)
+            filename = f"{args.name}_{step:08}.orbax"
+            if is_main:
+                print(f"Saving to {filename}...")
+            checkpoint.save_checkpoint_sharded(filename, state, host)
+            if is_main:
+                checkpoint.write_state_json(args.name, filename)
+            return
         if not is_main:
             return
         filename = f"{args.name}_{step:08}.ckpt"
@@ -516,6 +532,7 @@ def main():
     # train loop (reference train.py:430-519)
     step = host["step"]
     epoch = host["epoch"]
+    batch_in_epoch = host.get("batch_in_epoch", 0)
     losses_since_last_print = []
     gns_pending = []
 
@@ -535,6 +552,8 @@ def main():
             for batch in train_dl:
                 t0 = time.time()
                 data_wait = t0 - t_body_end if t_body_end is not None else 0.0
+                batch_in_epoch += 1
+                host["batch_in_epoch"] = batch_in_epoch
                 b = batch["image"].shape[0]
                 if b != local_batch_size * accum:
                     continue
@@ -629,8 +648,12 @@ def main():
                     return
             epoch += 1
             host["epoch"] = epoch
+            batch_in_epoch = 0
+            host["batch_in_epoch"] = 0
     except KeyboardInterrupt:
         pass
+    finally:
+        checkpoint.wait_for_checkpoints()
 
 
 if __name__ == "__main__":
