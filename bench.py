@@ -69,24 +69,24 @@ def bench_sampling(config, model, params, key):
 
     batch, steps, reps = 8, 50, 8
     sigma_min, sigma_max = config["model"]["sigma_min"], config["model"]["sigma_max"]
-    # folded (b, h, w*c) image layout for the sampler algebra (layout.py);
-    # bitwise-identical to NHWC, ~20% faster end-to-end
-    init_x = jax.random.normal(key, (reps, batch, 256, 256 * 3)) * sigma_max
+    # token (b, h/4, w/4, 48) sampler carry (layout.py): both patch
+    # boundaries inside the scan are plain matmuls, the pixel gather runs
+    # once outside; bitwise-identical to NHWC, +6% over the folded layout
+    init_x = jax.random.normal(key, (reps, batch, 64, 64, 48)) * sigma_max
     sigmas = sampling.get_sigmas_karras(steps, sigma_min, sigma_max)
 
     @jax.jit
     def sample(params, xs, sigmas):
         den = Denoiser(
-            layout.folded_model_fn(
-                lambda xi, si, **kw: model.apply({"params": params}, xi, si, **kw),
-                3),
+            lambda xi, si, **kw: model.apply(
+                {"params": params}, xi, si, image_layout="tokens", **kw),
             sigma_data=config["model"]["sigma_data"])
         # steady-state throughput: `reps` consecutive batches per dispatch
         # (amortizes this environment's ~25 ms per-dispatch tunnel RPC,
         # which is not a property of the framework or the hardware)
         out = jax.lax.map(
             lambda x: sampling.sample_dpmpp_2m(den, x, sigmas), xs)
-        return layout.unfold_images(out, 3)
+        return layout.from_tokens(out, (4, 4), 3)
 
     # NOTE: under the axon tunnel block_until_ready does not reliably
     # synchronize; a host readback does. Use a scalar readback as the fence.
@@ -113,22 +113,23 @@ def bench_512():
     params = jax.jit(model.init)(
         key, jax.random.normal(key, (1, 512, 512, 3)), jnp.ones([1]))["params"]
     b, reps, mcfg = 4, 2, config["model"]
-    # folded image layout (see bench_sampling / layout.py)
-    init_x = jax.random.normal(key, (reps, b, 512, 512 * 3)) * mcfg["sigma_max"]
+    # token-layout sampler carry (see bench_sampling / layout.py)
+    ph, pw = mcfg["patch_size"]
+    init_x = jax.random.normal(
+        key, (reps, b, 512 // ph, 512 // pw, ph * pw * 3)) * mcfg["sigma_max"]
     sigmas = sampling.get_sigmas_karras(50, mcfg["sigma_min"],
                                         mcfg["sigma_max"])
 
     @jax.jit
     def sample(params, xs, sigmas):
         den = Denoiser(
-            layout.folded_model_fn(
-                lambda xi, si, **kw: model.apply({"params": params}, xi, si, **kw),
-                3),
+            lambda xi, si, **kw: model.apply(
+                {"params": params}, xi, si, image_layout="tokens", **kw),
             sigma_data=mcfg["sigma_data"])
         # steady-state: `reps` batches per dispatch (see bench_sampling)
         out = jax.lax.map(
             lambda x: sampling.sample_dpmpp_2m(den, x, sigmas), xs)
-        return layout.unfold_images(out, 3)
+        return layout.from_tokens(out, (ph, pw), 3)
 
     def run_once():
         out = sample(params, init_x, sigmas)
@@ -168,12 +169,12 @@ def bench_train(config, remat):
         from k_diffusion_tpu import layout
         k_sig, k_noise, k_drop = jax.random.split(key, 3)
         sigma = sample_density(k_sig, (b,))
-        # folded image layout for the loss math, as in training.py
-        den = den_factory(layout.folded_model_fn(
+        # token image layout for the loss math, as in training.py
+        den = den_factory(
             lambda x, s, **kw: model.apply({"params": params}, x, s,
-                                           train=True,
-                                           rngs={"dropout": k_drop}, **kw), 3))
-        reals_f = layout.fold_images(reals)
+                                           train=True, image_layout="tokens",
+                                           rngs={"dropout": k_drop}, **kw))
+        reals_f = layout.to_tokens(reals, (4, 4))
         noise = jax.random.normal(k_noise, reals_f.shape, reals_f.dtype)
         return jnp.mean(den.loss(reals_f, noise, sigma))
 

@@ -40,6 +40,31 @@ def unfold_images(x, channels):
     return x.reshape(*lead, h, wc // channels, channels)
 
 
+def to_tokens(x, patch_size):
+    """NHWC -> token layout ``(..., h/ph, w/pw, ph*pw*c)`` with feature
+    order (ph, pw, c) — the order ``TokenMerge``'s flattened kernel rows
+    consume, so a model called with ``image_layout='tokens'`` computes the
+    same function. Do this ONCE outside a sampler loop / train step: with a
+    token-layout carry both patch boundaries inside the loop are plain
+    matmuls (zero relayout); this gather is the only layout change and it
+    amortizes over every step."""
+    ph, pw = patch_size
+    *lead, h, w, c = x.shape
+    x = x.reshape(*lead, h // ph, ph, w // pw, pw * c)
+    x = jnp.moveaxis(x, -3, -2)
+    return x.reshape(*lead, h // ph, w // pw, ph * pw * c)
+
+
+def from_tokens(x, patch_size, channels):
+    """Token layout ``(..., h/ph, w/pw, ph*pw*c)`` -> NHWC (inverse of
+    ``to_tokens``)."""
+    ph, pw = patch_size
+    *lead, hy, wx, f = x.shape
+    x = x.reshape(*lead, hy, wx, ph, pw * channels)
+    x = jnp.moveaxis(x, -2, -3)
+    return x.reshape(*lead, hy * ph, wx * pw, channels)
+
+
 def folded_model_fn(model_fn, channels):
     """Wrap an NHWC ``model_fn(x, sigma, **kw) -> denoised`` so it accepts
     and returns folded ``(b, h, w*c)`` arrays. A tuple return (the

@@ -418,8 +418,17 @@ class TokenMerge(nn.Module):
     dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, x, folded=True):
+    def __call__(self, x, folded=True, tokens=False):
         ph, pw = self.patch_size
+        if tokens:
+            # token-layout input (b, h/ph, w/pw, ph*pw*c): the patch gather
+            # already happened outside the sampler loop (layout.to_tokens),
+            # so patching is a plain feature matmul — no relayout at all.
+            # Feature order (ph, pw, c) matches w_proj's flattened rows, so
+            # checkpoints are identical across all three input layouts.
+            w_proj = _KernelParam((x.shape[-1], self.out_features),
+                                  nn.initializers.lecun_normal(), name="proj")()
+            return x.astype(self.dtype) @ w_proj.astype(self.dtype)
         b, h, w, c = x.shape
         w_proj = _KernelParam((ph * pw * c, self.out_features),
                               nn.initializers.lecun_normal(), name="proj")()
@@ -455,12 +464,20 @@ def _unpatch(x, patch_size, out_features):
     return x
 
 
-def _split_proj(x, w_proj, patch_size, out_features, dtype, folded=True):
+def _split_proj(x, w_proj, patch_size, out_features, dtype, folded=True,
+                tokens=False):
     """Projection + pixel-unshuffle as one transposed strided conv (exact:
     stride == kernel size, so outputs never overlap). Kernel channel order
     matches the Dense + _unpatch formulation for checkpoint parity."""
     ph, pw = patch_size
     c = x.shape[-1]
+    if tokens:
+        # token-layout output (b, h/ph, w/pw, ph*pw*out): leave the pixel
+        # unshuffle to layout.from_tokens outside the sampler loop. Column
+        # order of w_proj is (ph, pw, out) — the same feature order
+        # TokenMerge consumes, so sampler algebra on token arrays lines up
+        # pixel-for-pixel with the NHWC path.
+        return x.astype(dtype) @ w_proj.astype(dtype)
     if out_features * pw < 128 and folded:
         # image output (C=3): project then assemble the FOLDED (b, h, w*c)
         # image with one sublane transpose — the C-minor NHWC layout is
@@ -492,14 +509,14 @@ class TokenSplitWithoutSkip(nn.Module):
     dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, x, folded=True):
+    def __call__(self, x, folded=True, tokens=False):
         ph, pw = self.patch_size
         init = nn.initializers.zeros if self.zero_init \
             else nn.initializers.lecun_normal()
         w_proj = _KernelParam((x.shape[-1], self.out_features * ph * pw),
                               init, name="proj")()
         return _split_proj(x, w_proj, self.patch_size, self.out_features,
-                           self.dtype, folded=folded)
+                           self.dtype, folded=folded, tokens=tokens)
 
 
 class TokenSplit(nn.Module):
@@ -558,20 +575,26 @@ class ImageTransformerDenoiserModelV2(nn.Module):
 
     @nn.compact
     def __call__(self, x, sigma, aug_cond=None, class_cond=None,
-                 mapping_cond=None, train=False):
+                 mapping_cond=None, train=False, image_layout="nhwc"):
         if self.num_classes and class_cond is None:
             raise ValueError("class_cond must be specified if num_classes > 0")
         if self.mapping_cond_dim and mapping_cond is None:
             raise ValueError("mapping_cond must be specified if mapping_cond_dim > 0")
         deterministic = not train
+        tokens = image_layout == "tokens"
         x = x.astype(self.dtype)
 
-        # Patching. The folded-einsum image path wins for inference but its
-        # BACKWARD materializes lane-starved (ph, pw*c)-minor transposes
-        # (583 -> 572 imgs/sec measured), so training keeps the strided-conv
-        # formulation whose conv data-grad is cheap.
+        # Patching. image_layout='tokens' takes (b, h/ph, w/pw, ph*pw*c)
+        # token arrays (layout.to_tokens) and makes both patch boundaries
+        # plain matmuls — zero relayout inside a sampler loop or train step
+        # (the gather/scatter happens ONCE outside). The folded-einsum image
+        # path wins for NHWC inference but its BACKWARD materializes
+        # lane-starved (ph, pw*c)-minor transposes (583 -> 572 imgs/sec
+        # measured), so NHWC training keeps the strided-conv formulation
+        # whose conv data-grad is cheap.
         x = TokenMerge(self.levels[0].width, self.patch_size,
-                       dtype=self.dtype, name="patch_in")(x, folded=deterministic)
+                       dtype=self.dtype, name="patch_in")(
+            x, folded=deterministic, tokens=tokens)
         pos = ops.make_axial_pos(x.shape[-3], x.shape[-2])
 
         # Mapping network
@@ -657,7 +680,8 @@ class ImageTransformerDenoiserModelV2(nn.Module):
         x = RMSNorm(name="out_norm")(x)
         x = TokenSplitWithoutSkip(self.out_channels, self.patch_size,
                                   zero_init=True, dtype=self.dtype,
-                                  name="patch_out")(x, folded=deterministic)
+                                  name="patch_out")(
+            x, folded=deterministic, tokens=tokens)
         return x.astype(jnp.float32)
 
 

@@ -98,7 +98,8 @@ def _global_sq_norm(tree):
 def make_train_step(model, denoiser_factory, sample_density, optimizer, *,
                     num_classes=0, cond_dropout_rate=0.0, stratified=True,
                     compute_gns=False, has_mapping_cond=False, apply_fn=None,
-                    mesh=None, data_axis="data", watch_labels=None):
+                    mesh=None, data_axis="data", watch_labels=None,
+                    token_patch=None):
     """Returns ``step(state, batch, key, ema_decay) -> (state, metrics)``,
     jitted with the state donated (in-place on-device update).
 
@@ -169,14 +170,27 @@ def make_train_step(model, denoiser_factory, sample_density, optimizer, *,
 
         den = denoiser_factory(inner)
         if reals.ndim == 4 and getattr(den, "scales", 1) == 1:
-            # folded (b, h, w*c) image layout for the loss-side elementwise
-            # math (layout.py): bitwise-identical loss (the noise draw
-            # reshapes in place, threefry bits are flat-indexed), avoids
-            # XLA's C-minor image layout for every loss op and its backward
             from . import layout
-            den = denoiser_factory(
-                layout.folded_model_fn(inner, reals.shape[-1]))
-            reals = layout.fold_images(reals)
+            if token_patch is not None:
+                # token layout (b, h/ph, w/pw, ph*pw*c): both patch
+                # boundaries inside the step become plain matmuls — the
+                # pixel gather happens once here, outside the model, and
+                # reals carry no gradient so the backward never pays it
+                # (measured +1% train, +6% sampling; layout.py)
+                def inner_tok(x, sig, **kwargs):
+                    return apply_fn(params, x, sig, k_dropout,
+                                    image_layout="tokens", **kwargs)
+                den = denoiser_factory(inner_tok)
+                reals = layout.to_tokens(reals, token_patch)
+            else:
+                # folded (b, h, w*c) image layout for the loss-side
+                # elementwise math (layout.py): bitwise-identical loss (the
+                # noise draw reshapes in place, threefry bits are
+                # flat-indexed), avoids XLA's C-minor image layout for
+                # every loss op and its backward
+                den = denoiser_factory(
+                    layout.folded_model_fn(inner, reals.shape[-1]))
+                reals = layout.fold_images(reals)
         noise = global_draw(
             lambda s: jax.random.normal(k_noise, s, reals.dtype), reals.shape)
         losses = den.loss(reals, noise, sigma, **extra)

@@ -47,14 +47,20 @@ def main():
     params, _ = K.checkpoint.load_inference(args.checkpoint)
     print("Parameters:", f"{K.utils.n_params(params):,}")
     channels = model_config["input_channels"]
-    # folded (b, h, w*c) sampler layout (k_diffusion_tpu/layout.py):
-    # bitwise-identical samples, the image-space sampler algebra runs
-    # lane-wide instead of C-minor
-    denoiser = K.Denoiser(
-        K.layout.folded_model_fn(
+    # fast sampler carry layouts (k_diffusion_tpu/layout.py): ITv2 uses the
+    # token layout (patch boundaries become matmuls, zero relayout in the
+    # scan); other families use the folded (b, h, w*c) layout — both are
+    # bitwise-identical to NHWC sampling
+    token_patch = (tuple(model_config["patch_size"])
+                   if model_config["type"] == "image_transformer_v2" else None)
+    if token_patch:
+        model_fn = lambda x, s, **kw: model.apply(
+            {"params": params}, x, s, image_layout="tokens", **kw)
+    else:
+        model_fn = K.layout.folded_model_fn(
             lambda x, s, **kw: model.apply({"params": params}, x, s, **kw),
-            channels),
-        sigma_data=model_config["sigma_data"])
+            channels)
+    denoiser = K.Denoiser(model_fn, sigma_data=model_config["sigma_data"])
 
     sigma_min, sigma_max = model_config["sigma_min"], model_config["sigma_max"]
     sigmas = K.sampling.get_sigmas_karras(args.steps, sigma_min, sigma_max, rho=7.0)
@@ -66,8 +72,13 @@ def main():
     def sample_fn(n):
         nonlocal key
         key, k_noise, k_cls, k_samp = jax.random.split(key, 4)
-        x = jax.random.normal(
-            k_noise, [args.batch_size, size[0], size[1] * channels]) * sigma_max
+        if token_patch:
+            ph, pw = token_patch
+            noise_shape = [args.batch_size, size[0] // ph, size[1] // pw,
+                           ph * pw * channels]
+        else:
+            noise_shape = [args.batch_size, size[0], size[1] * channels]
+        x = jax.random.normal(k_noise, noise_shape) * sigma_max
         extra = {}
         if num_classes:
             # class-conditional model: sample random classes (the reference
@@ -76,6 +87,8 @@ def main():
                 k_cls, [args.batch_size], 0, num_classes)
         x_0 = K.sampling.call_sampler(
             args.sampler, denoiser, x, sigmas, extra_args=extra, key=k_samp)
+        if token_patch:
+            return K.layout.from_tokens(x_0[:n], token_patch, channels)
         return K.layout.unfold_images(x_0[:n], channels)
 
     x_0 = K.evaluation.compute_features(sample_fn, lambda x: x, args.n,

@@ -1,4 +1,5 @@
-"""Trace the flagship eval forward (sampling composition) and print top ops.
+"""Trace the HEADLINE sampling composition (bench.py's folded-layout 50-step
+DPM++(2M) scan on the flagship HDiT) and print the per-step op breakdown.
 
 Usage: python scripts/profile_sample.py [--batch 8] [--top 30]
 """
@@ -16,7 +17,7 @@ os.makedirs("/root/.cache/jax_comp_cache", exist_ok=True)
 jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_comp_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
 
-INNER = 50
+STEPS = 50
 
 
 def main():
@@ -26,7 +27,7 @@ def main():
     args = ap.parse_args()
 
     import __graft_entry__
-    from k_diffusion_tpu import config as config_mod
+    from k_diffusion_tpu import config as config_mod, layout, sampling
     from k_diffusion_tpu.denoiser import Denoiser
     from scripts.profile_step import parse_xplane
 
@@ -34,22 +35,22 @@ def main():
     model = config_mod.make_model(config, dtype=jnp.bfloat16)
     key = jax.random.PRNGKey(0)
     b = args.batch
-    x = jax.random.normal(key, (b, 256, 256, 3))
-    params = jax.jit(model.init)(key, x[:1], jnp.ones([1]))["params"]
+    mcfg = config["model"]
+    params = jax.jit(model.init)(
+        key, jax.random.normal(key, (1, 256, 256, 3)), jnp.ones([1]))["params"]
+    init_x = jax.random.normal(key, (b, 64, 64, 48)) * mcfg["sigma_max"]
+    sigmas = sampling.get_sigmas_karras(STEPS, mcfg["sigma_min"], mcfg["sigma_max"])
 
     @jax.jit
-    def scan_fwd(params, x):
+    def sample(params, x, sigmas):
         den = Denoiser(
-            lambda xi, si, **kw: model.apply({"params": params}, xi, si, **kw),
-            sigma_data=config["model"]["sigma_data"])
-        def body(carry, i):
-            out = den(carry, jnp.full([b], 2.0))
-            return out * 0.99, None
-        out, _ = jax.lax.scan(body, x, jnp.arange(INNER))
-        return out
+            lambda xi, si, **kw: model.apply(
+                {"params": params}, xi, si, image_layout="tokens", **kw),
+            sigma_data=mcfg["sigma_data"])
+        return layout.from_tokens(sampling.sample_dpmpp_2m(den, x, sigmas), (4, 4), 3)
 
     def run():
-        return float(jnp.sum(scan_fwd(params, x)[:, 0, 0, 0]))
+        return float(jnp.sum(sample(params, init_x, sigmas)[:, 0, 0, 0]))
 
     run(); run()
     trace_dir = "/tmp/kdt_sample_trace"
@@ -57,7 +58,7 @@ def main():
     jax.profiler.start_trace(trace_dir)
     run()
     jax.profiler.stop_trace()
-    parse_xplane(trace_dir, top=args.top, inner=INNER)
+    parse_xplane(trace_dir, top=args.top, inner=STEPS)
 
 
 if __name__ == "__main__":

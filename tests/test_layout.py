@@ -90,3 +90,88 @@ def test_folded_model_fn_tuple_return():
     assert out.shape == x.shape
     assert logvar.shape == (2,)
     np.testing.assert_allclose(np.asarray(out), np.asarray(x) * 2.0)
+
+
+def test_to_from_tokens_roundtrip():
+    x = jax.random.normal(jax.random.PRNGKey(0), (2, 8, 12, 3))
+    t = layout.to_tokens(x, (2, 2))
+    assert t.shape == (2, 4, 6, 12)
+    np.testing.assert_array_equal(np.asarray(layout.from_tokens(t, (2, 2), 3)),
+                                  np.asarray(x))
+
+
+def test_token_layout_model_bitwise_equal():
+    """image_layout='tokens' (patch boundaries as plain matmuls, gather done
+    once outside by layout.to_tokens) computes the same function as NHWC."""
+    model = tiny_model("global")
+    key = jax.random.PRNGKey(0)
+    x = jax.random.normal(key, (2, 16, 16, 3))
+    sigma = jnp.asarray([1.0, 3.0])
+    variables = model.init(key, x, sigma)
+    leaves, treedef = jax.tree_util.tree_flatten(variables["params"])
+    keys = jax.random.split(jax.random.fold_in(key, 1), len(leaves))
+    params = treedef.unflatten([
+        jax.random.normal(k, p.shape, p.dtype) * 0.05
+        for k, p in zip(keys, leaves)])
+    out_nhwc = model.apply({"params": params}, x, sigma)
+    out_tok = model.apply({"params": params}, layout.to_tokens(x, (2, 2)),
+                          sigma, image_layout="tokens")
+    np.testing.assert_array_equal(
+        np.asarray(out_nhwc),
+        np.asarray(layout.from_tokens(out_tok, (2, 2), 3)))
+
+
+def test_token_layout_sampler_equal():
+    """A full fixed-noise sampler trajectory through the token-layout carry
+    matches the NHWC trajectory pixel for pixel (sampler algebra is
+    elementwise, so the carry layout is free to choose)."""
+    model = tiny_model("global")
+    key = jax.random.PRNGKey(0)
+    x = jax.random.normal(key, (2, 16, 16, 3)) * 80.0
+    sigma = jnp.asarray([1.0, 3.0])
+    variables = model.init(key, x[:1] / 80.0, sigma[:1])
+    leaves, treedef = jax.tree_util.tree_flatten(variables["params"])
+    keys = jax.random.split(jax.random.fold_in(key, 1), len(leaves))
+    params = treedef.unflatten([
+        jax.random.normal(k, p.shape, p.dtype) * 0.05
+        for k, p in zip(keys, leaves)])
+
+    def model_fn(xi, si, **kw):
+        return model.apply({"params": params}, xi, si, **kw)
+
+    def token_fn(xi, si, **kw):
+        return model.apply({"params": params}, xi, si,
+                           image_layout="tokens", **kw)
+
+    sigmas = sampling.get_sigmas_karras(8, 1e-2, 80.0)
+    plain = sampling.sample_dpmpp_2m(
+        Denoiser(model_fn, sigma_data=0.5), x, sigmas)
+    tok = sampling.sample_dpmpp_2m(
+        Denoiser(token_fn, sigma_data=0.5), layout.to_tokens(x, (2, 2)), sigmas)
+    np.testing.assert_array_equal(
+        np.asarray(plain), np.asarray(layout.from_tokens(tok, (2, 2), 3)))
+
+
+def test_token_layout_loss_close():
+    """Training loss on the token layout: same elements, different reduction
+    order -> equal to float tolerance."""
+    model = tiny_model("global")
+    key = jax.random.PRNGKey(3)
+    reals = jax.random.normal(key, (2, 16, 16, 3))
+    noise = jax.random.normal(jax.random.fold_in(key, 1), reals.shape)
+    sigma = jnp.asarray([0.5, 2.0])
+    variables = model.init(key, reals, sigma)
+    params = variables["params"]
+
+    def model_fn(xi, si, **kw):
+        return model.apply({"params": params}, xi, si, **kw)
+
+    def token_fn(xi, si, **kw):
+        return model.apply({"params": params}, xi, si,
+                           image_layout="tokens", **kw)
+
+    plain = Denoiser(model_fn, sigma_data=0.5, weighting="soft-min-snr").loss(
+        reals, noise, sigma)
+    tok = Denoiser(token_fn, sigma_data=0.5, weighting="soft-min-snr").loss(
+        layout.to_tokens(reals, (2, 2)), layout.to_tokens(noise, (2, 2)), sigma)
+    np.testing.assert_allclose(np.asarray(plain), np.asarray(tok), rtol=1e-6)

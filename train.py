@@ -327,13 +327,19 @@ def main():
     # dp > 1 always takes the shard_map path: inside it every array is the
     # per-device shard, which is what lets the Pallas attention kernels
     # (not GSPMD-partitionable) run under data parallelism on real meshes
+    # ITv2 runs loss and samplers on the token layout (b, h/ph, w/pw,
+    # ph*pw*c): patch boundaries inside the step/scan are plain matmuls,
+    # the pixel gather happens once outside (layout.py)
+    token_patch = (tuple(model_config["patch_size"])
+                   if model_config["type"] == "image_transformer_v2" else None)
     train_step = training.make_train_step(
         model, denoiser_factory, sample_density, opt,
         num_classes=num_classes, cond_dropout_rate=cond_dropout_rate,
         stratified=not args.gns, compute_gns=args.gns, apply_fn=apply_fn,
         mesh=mesh if dp_size > 1 else None,
         data_axis=parallel.DATA_AXIS,
-        watch_labels=labels if use_wandb else None)
+        watch_labels=labels if use_wandb else None,
+        token_patch=token_patch)
 
     # demo sampling (reference train.py:331-369)
     def make_cfg_model_fn(den, cfg_scale=1.0):
@@ -356,10 +362,33 @@ def main():
         else:
             inner = lambda xi, si, **kw: model.apply({"params": ema_params}, xi, si, **kw)
         if folded:
-            # folded (b, h, w*c) sampler layout (layout.py): bitwise-identical
-            # samples, ~20% faster — the sampler algebra runs lane-wide
-            inner = layout.folded_model_fn(inner, model_config["input_channels"])
+            if token_patch:
+                # token-layout sampler carry (layout.py): patch boundaries
+                # are matmuls, zero relayout inside the sampler scan
+                base = inner
+                inner = lambda xi, si, **kw: base(
+                    xi, si, image_layout="tokens", **kw)
+            else:
+                # folded (b, h, w*c) sampler layout (layout.py):
+                # bitwise-identical samples, ~20% faster — the sampler
+                # algebra runs lane-wide
+                inner = layout.folded_model_fn(
+                    inner, model_config["input_channels"])
         return denoiser_factory(inner)
+
+    def sample_noise_shape(n):
+        """Initial-noise shape for the fast sampler layout."""
+        channels = model_config["input_channels"]
+        if token_patch:
+            ph, pw = token_patch
+            return [n, size[0] // ph, size[1] // pw, ph * pw * channels]
+        return [n, size[0], size[1] * channels]
+
+    def samples_to_nhwc(x):
+        channels = model_config["input_channels"]
+        if token_patch:
+            return layout.from_tokens(x, token_patch, channels)
+        return layout.unfold_images(x, channels)
 
     def shard_sampler(run, n):
         """Wrap a batch-parallel ``run(x, class_cond) -> samples`` in
@@ -382,9 +411,7 @@ def main():
         den = make_cfg_model_fn(ema_denoiser(ema_params, folded=True))
         k_noise, k_cls = jax.random.split(demo_key)
         n = args.sample_n
-        channels = model_config["input_channels"]
-        x = jax.random.normal(
-            k_noise, [n, size[0], size[1] * channels]) * sigma_max
+        x = jax.random.normal(k_noise, sample_noise_shape(n)) * sigma_max
         sigmas = sampling.get_sigmas_karras(50, sigma_min, sigma_max, rho=7.0)
         class_cond = (jax.random.randint(k_cls, [n], 0, num_classes)
                       if num_classes else jnp.zeros([n], jnp.int32))
@@ -394,8 +421,7 @@ def main():
             return sampling.sample_dpmpp_2m_sde(
                 den, x, sigmas, extra_args=extra, eta=0.0, solver_type="heun")
 
-        return layout.unfold_images(shard_sampler(run, n)(x, class_cond),
-                                    channels)
+        return samples_to_nhwc(shard_sampler(run, n)(x, class_cond))
 
     def demo(step):
         if is_main:
@@ -464,9 +490,7 @@ def main():
         def sample_fn_jit(ema_params, k, n_static):
             den = make_cfg_model_fn(ema_denoiser(ema_params, folded=True))
             kx, kc = jax.random.split(k)
-            channels = model_config["input_channels"]
-            x = jax.random.normal(
-                kx, [n_static, size[0], size[1] * channels]) * sigma_max
+            x = jax.random.normal(kx, sample_noise_shape(n_static)) * sigma_max
             class_cond = (jax.random.randint(kc, [n_static], 0, num_classes)
                           if num_classes else jnp.zeros([n_static], jnp.int32))
 
@@ -476,8 +500,7 @@ def main():
                     den, x, sigmas, extra_args=extra, eta=0.0,
                     solver_type="heun")
 
-            return layout.unfold_images(
-                shard_sampler(run, n_static)(x, class_cond), channels)
+            return samples_to_nhwc(shard_sampler(run, n_static)(x, class_cond))
 
         counter = [0]
 
