@@ -147,8 +147,10 @@ class SelfAttentionBlock(nn.Module):
             # prologue-backward kernel (fused_qkv._prologue_bwd_pallas);
             # recompute-through-XLA is only the off-TPU fallback.
             from ..ops.pallas import fused_qkv_prologue
+            from ..ops.pallas.fused_qkv import preferred_qkv_tile
             qp, kp, vp = fused_qkv_prologue(
-                x, pos, norm_scale, w_qkv, scale, n_heads)
+                x, pos, norm_scale, w_qkv, scale, n_heads,
+                tile=preferred_qkv_tile(h, w, train=not deterministic))
             q = k = v = None
         else:
             xn = ops.rms_norm(x, norm_scale[:, None, None, :])
@@ -285,6 +287,12 @@ class FeedForwardBlock(nn.Module):
         t = hh * ww
         block = (1024 if t % 1024 == 0 else
                  512 if t % 512 == 0 else (256 if t % 256 == 0 else 0))
+        if deterministic and t % 2048 == 0:
+            # eval forward: larger blocks amortize per-program costs
+            # (113.3 -> 109.1 us at the 4096-token level-0 shape,
+            # scripts/bench_prologue_ffn.py); the backward keeps 1024 —
+            # 2048 measured slower there (scripts/bench_ffn_bwd.py)
+            block = 2048
         # the fused kernel contains no dropout, so it is exact whenever
         # dropout is inactive — always at inference, and in training for the
         # dropout=0 blocks (train-eligible: its custom_vjp backward runs the

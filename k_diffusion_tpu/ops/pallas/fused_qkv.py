@@ -412,6 +412,17 @@ def _fused_qkv_bwd_rule(n_heads, eps, cos_eps, tile, res, g):
 _fused_qkv_inner.defvjp(_fused_qkv_fwd_rule, _fused_qkv_bwd_rule)
 
 
+def preferred_qkv_tile(h, w, train=False):
+    """Spatial tile for the fused prologue. Tile 32 quarters the program
+    count and measured 110.8 -> 81.8 us at the flagship level-0 eval shape
+    (64x64, d=128) and 57.7 -> 27.1 us at level 1 (32x32, d=256)
+    (scripts/bench_prologue_ffn.py); training keeps tile 16 unless the A/B
+    says otherwise (the custom_vjp backward's slab shapes follow the tile)."""
+    if h % 32 == 0 and w % 32 == 0 and not train:
+        return 32
+    return TOKEN_TILE
+
+
 def fused_qkv_prologue(x, pos, norm_scale, w_qkv, attn_scale, n_heads,
                        eps=1e-6, cos_eps=1e-6, tile=TOKEN_TILE):
     """x (b,h,w,d); pos (h,w,2) axial positions (used by the XLA fallback;

@@ -235,21 +235,30 @@ def make_train_step(model, denoiser_factory, sample_density, optimizer, *,
             k_sigma, (a_steps * b,), stratified=(0, 1) if stratified else None)
         sigmas = sigma_flat.reshape(a_steps, b)
 
-        def accum_body(carry, inp):
-            grads_acc, loss_acc, sqn_acc = carry
-            mb, sigma, idx = inp
-            k = jax.random.fold_in(k_loop, idx)
-            loss, grads, sqn = grad_microbatch(state.params, mb, sigma, k)
-            grads_acc = jax.tree_util.tree_map(jnp.add, grads_acc, grads)
-            return (grads_acc, loss_acc + loss, sqn_acc + sqn), None
+        if a_steps == 1:
+            # no-accumulation fast path: the scan below would zero-init and
+            # add a full f32 grads tree (~3 extra HBM passes over the params
+            # at 61M+); with one microbatch the sum is the identity, so this
+            # is bit-identical (0 + g == g and g / 1 == g in f32)
+            mb = jax.tree_util.tree_map(lambda x: x[0], batch)
+            loss, grads, sqn_small = grad_microbatch(
+                state.params, mb, sigmas[0], jax.random.fold_in(k_loop, 0))
+        else:
+            def accum_body(carry, inp):
+                grads_acc, loss_acc, sqn_acc = carry
+                mb, sigma, idx = inp
+                k = jax.random.fold_in(k_loop, idx)
+                loss, grads, sqn = grad_microbatch(state.params, mb, sigma, k)
+                grads_acc = jax.tree_util.tree_map(jnp.add, grads_acc, grads)
+                return (grads_acc, loss_acc + loss, sqn_acc + sqn), None
 
-        zeros = jax.tree_util.tree_map(
-            lambda p: jnp.zeros(p.shape, jnp.float32), state.params)
-        (grads, loss, sqn_small), _ = jax.lax.scan(
-            accum_body, (zeros, jnp.float32(0), jnp.float32(0)),
-            (batch, sigmas, jnp.arange(a_steps)))
-        grads = jax.tree_util.tree_map(lambda g: g / a_steps, grads)
-        loss = loss / a_steps
+            zeros = jax.tree_util.tree_map(
+                lambda p: jnp.zeros(p.shape, jnp.float32), state.params)
+            (grads, loss, sqn_small), _ = jax.lax.scan(
+                accum_body, (zeros, jnp.float32(0), jnp.float32(0)),
+                (batch, sigmas, jnp.arange(a_steps)))
+            grads = jax.tree_util.tree_map(lambda g: g / a_steps, grads)
+            loss = loss / a_steps
         metrics = {"loss": loss}
         if compute_gns:
             metrics["grad_sq_norm_small"] = sqn_small / a_steps

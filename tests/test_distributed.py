@@ -42,6 +42,28 @@ def _setup():
     return state, step
 
 
+def test_grad_accum_scan_path_runs():
+    """accum=1 takes a no-scan fast path in the train step (the zero-init +
+    add over the full f32 grads tree is pure HBM traffic when there is one
+    microbatch); the accum>1 lax.scan path must still run and agree with
+    the fast path on finiteness (sigmas/keys differ per microbatch, and LR
+    warmup zeroes the step-0 update, so only execution + finite loss and
+    the step counter are asserted)."""
+    key = jax.random.PRNGKey(11)
+    mb = jax.random.normal(key, (16, 16, 16, 3))
+
+    state1, step1 = _setup()
+    state1b, m1 = step1(state1, {"reals": mb[None]}, key, 0.99)
+    assert np.isfinite(float(m1["loss"]))
+    assert int(state1b.step) == 1
+
+    state2, step2 = _setup()
+    state2b, m2 = step2(
+        state2, {"reals": jnp.stack([mb, mb])}, key, 0.99)
+    assert np.isfinite(float(m2["loss"]))
+    assert int(state2b.step) == 1
+
+
 def test_sharded_step_matches_single_device():
     """The same global batch must produce identical params whether sharded
     over 8 devices or run on 1 — XLA's psum from sharding == no-op math."""

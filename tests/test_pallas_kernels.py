@@ -110,8 +110,10 @@ def test_packed_global_grads_match_reference(s, c, heads):
 
 
 @requires_tpu
-@pytest.mark.parametrize("hw,d,heads", [(32, 128, 2), (16, 256, 4)])
-def test_fused_qkv_prologue_matches_reference(hw, d, heads):
+@pytest.mark.parametrize("hw,d,heads,tile",
+                         [(32, 128, 2, 16), (16, 256, 4, 16), (32, 128, 2, 32),
+                          (32, 256, 4, 32)])
+def test_fused_qkv_prologue_matches_reference(hw, d, heads, tile):
     fq = importlib.import_module("k_diffusion_tpu.ops.pallas.fused_qkv")
     keys = jax.random.split(jax.random.PRNGKey(5), 4)
     x = jax.random.normal(keys[0], (2, hw, hw, d), jnp.bfloat16)
@@ -120,7 +122,8 @@ def test_fused_qkv_prologue_matches_reference(hw, d, heads):
     attn_scale = jnp.abs(jax.random.normal(keys[3], (heads,))) + 5.0
     pos = jnp.asarray(np.asarray(
         importlib.import_module("k_diffusion_tpu.ops.rope").make_axial_pos(hw, hw)))
-    outs_p = fq.fused_qkv_prologue(x, pos, norm_scale, w_qkv, attn_scale, heads)
+    outs_p = fq.fused_qkv_prologue(x, pos, norm_scale, w_qkv, attn_scale, heads,
+                                   tile=tile)
     outs_x = fq._reference(x, pos, norm_scale, w_qkv, attn_scale, heads, 1e-6, 1e-6)
     for a, b in zip(outs_p, outs_x):
         np.testing.assert_allclose(
@@ -199,13 +202,15 @@ def test_fused_qkv_prologue_grad_runs():
 
 
 @requires_tpu
-def test_fused_qkv_prologue_grads_match_reference():
+@pytest.mark.parametrize("hw,tile", [(16, 16), (32, 32)])
+def test_fused_qkv_prologue_grads_match_reference(hw, tile):
     """The residual-saving backward (raw qkv saved by the forward kernel)
-    must produce the same gradients as differentiating the XLA chain."""
+    must produce the same gradients as differentiating the XLA chain —
+    at every tile the forward ladder can pick."""
     fq = importlib.import_module("k_diffusion_tpu.ops.pallas.fused_qkv")
     rp = importlib.import_module("k_diffusion_tpu.ops.rope")
     keys = jax.random.split(jax.random.PRNGKey(7), 4)
-    d, heads, hw = 128, 2, 16
+    d, heads = 128, 2
     x = jax.random.normal(keys[0], (2, hw, hw, d), jnp.float32)
     norm_scale = 1 + 0.1 * jax.random.normal(keys[1], (2, d), jnp.float32)
     w_qkv = jax.random.normal(keys[2], (d, 3 * d), jnp.float32) * d ** -0.5
@@ -217,8 +222,9 @@ def test_fused_qkv_prologue_grads_match_reference():
         t = jnp.sin(q.astype(jnp.float32)) + (k * v).astype(jnp.float32)
         return jnp.sum(t ** 2)
 
-    gp = jax.grad(lambda *a: loss(fq.fused_qkv_prologue, *a), argnums=(0, 1, 2, 3))(
-        x, norm_scale, w_qkv, attn_scale)
+    gp = jax.grad(lambda *a: loss(
+        lambda *b: fq.fused_qkv_prologue(*b, tile=tile), *a),
+        argnums=(0, 1, 2, 3))(x, norm_scale, w_qkv, attn_scale)
     gx = jax.grad(lambda *a: loss(
         lambda x_, p_, ns_, w_, as_, h_: fq._reference(x_, p_, ns_, w_, as_, h_, 1e-6, 1e-6),
         *a), argnums=(0, 1, 2, 3))(x, norm_scale, w_qkv, attn_scale)
