@@ -416,9 +416,11 @@ def preferred_qkv_tile(h, w, train=False):
     """Spatial tile for the fused prologue. Tile 32 quarters the program
     count and measured 110.8 -> 81.8 us at the flagship level-0 eval shape
     (64x64, d=128) and 57.7 -> 27.1 us at level 1 (32x32, d=256)
-    (scripts/bench_prologue_ffn.py); training keeps tile 16 unless the A/B
-    says otherwise (the custom_vjp backward's slab shapes follow the tile)."""
-    if h % 32 == 0 and w % 32 == 0 and not train:
+    (scripts/bench_prologue_ffn.py). The training fwd+bwd (custom_vjp
+    backward's slab shapes follow the tile) also wins at both: batch-32
+    slope-timed 2208 -> 2158 us (l0) and 838 -> 582 us (l1)
+    (scripts/bench_prologue_grad.py)."""
+    if h % 32 == 0 and w % 32 == 0:
         return 32
     return TOKEN_TILE
 
