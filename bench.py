@@ -68,11 +68,18 @@ def bench_sampling(config, model, params, key):
     from k_diffusion_tpu.denoiser import Denoiser
 
     batch, steps, reps = 8, 50, 8
-    sigma_min, sigma_max = config["model"]["sigma_min"], config["model"]["sigma_max"]
-    # token (b, h/4, w/4, 48) sampler carry (layout.py): both patch
+    mcfg = config["model"]
+    sigma_min, sigma_max = mcfg["sigma_min"], mcfg["sigma_max"]
+    # token (b, H/ph, W/pw, ph*pw*c) sampler carry (layout.py): both patch
     # boundaries inside the scan are plain matmuls, the pixel gather runs
-    # once outside; bitwise-identical to NHWC, +6% over the folded layout
-    init_x = jax.random.normal(key, (reps, batch, 64, 64, 48)) * sigma_max
+    # once outside; the model computes the identical function on token
+    # arrays (+6% over the folded layout). Note the initial noise is drawn
+    # at token shape — a different permutation of the same bits than an
+    # NHWC draw, so seed-for-seed outputs differ from the NHWC path.
+    (ih, iw), (ph, pw) = mcfg["input_size"], mcfg["patch_size"]
+    c = mcfg["input_channels"]
+    init_x = jax.random.normal(
+        key, (reps, batch, ih // ph, iw // pw, ph * pw * c)) * sigma_max
     sigmas = sampling.get_sigmas_karras(steps, sigma_min, sigma_max)
 
     @jax.jit
@@ -86,7 +93,7 @@ def bench_sampling(config, model, params, key):
         # which is not a property of the framework or the hardware)
         out = jax.lax.map(
             lambda x: sampling.sample_dpmpp_2m(den, x, sigmas), xs)
-        return layout.from_tokens(out, (4, 4), 3)
+        return layout.from_tokens(out, (ph, pw), c)
 
     # NOTE: under the axon tunnel block_until_ready does not reliably
     # synchronize; a host readback does. Use a scalar readback as the fence.

@@ -69,9 +69,11 @@ def _async_checkpointer():
 
 
 def wait_for_checkpoints():
-    """Blocks until any in-flight async sharded save has committed."""
+    """Blocks until any in-flight async sharded save has committed, then
+    flushes any deferred ``{name}_state.json`` pointer update."""
     if _ASYNC_CHECKPOINTER is not None:
         _ASYNC_CHECKPOINTER.wait_until_finished()
+    _flush_pending_state_json()
 
 
 def save_checkpoint_sharded(path, state, host_state, async_save=True):
@@ -91,6 +93,7 @@ def save_checkpoint_sharded(path, state, host_state, async_save=True):
     if async_save:
         ckptr = _async_checkpointer()
         ckptr.wait_until_finished()  # one in-flight save at a time
+        _flush_pending_state_json()  # previous save has committed
     else:
         ckptr = ocp.StandardCheckpointer()
     ckptr.save(path, args=ocp.args.StandardSave(
@@ -133,6 +136,29 @@ def write_state_json(name, ckpt_path):
     state_path = Path(f"{name}_state.json")
     json.dump({"latest_checkpoint": str(ckpt_path)}, open(state_path, "w"))
     return state_path
+
+
+_PENDING_STATE_JSON = None
+
+
+def _flush_pending_state_json():
+    global _PENDING_STATE_JSON
+    if _PENDING_STATE_JSON is not None:
+        name, path = _PENDING_STATE_JSON
+        _PENDING_STATE_JSON = None
+        write_state_json(name, path)
+
+
+def write_state_json_after_commit(name, ckpt_path):
+    """Defer the ``{name}_state.json`` pointer update until the in-flight
+    async sharded save has committed (flushed by the next save's fence,
+    ``wait_for_checkpoints()``, or exit). Writing it immediately would leave
+    the pointer at a directory that never materializes if the process dies
+    before the async commit — auto-resume would then fail instead of falling
+    back to the last good checkpoint (reference keeps the pointer valid by
+    writing it after a synchronous save, train.py:419-421)."""
+    global _PENDING_STATE_JSON
+    _PENDING_STATE_JSON = (str(name), str(ckpt_path))
 
 
 def latest_checkpoint(name):

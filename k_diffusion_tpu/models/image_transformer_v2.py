@@ -150,7 +150,7 @@ class SelfAttentionBlock(nn.Module):
             from ..ops.pallas.fused_qkv import preferred_qkv_tile
             qp, kp, vp = fused_qkv_prologue(
                 x, pos, norm_scale, w_qkv, scale, n_heads,
-                tile=preferred_qkv_tile(h, w, train=not deterministic))
+                tile=preferred_qkv_tile(h, w))
             q = k = v = None
         else:
             xn = ops.rms_norm(x, norm_scale[:, None, None, :])

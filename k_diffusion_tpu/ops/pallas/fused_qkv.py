@@ -412,7 +412,7 @@ def _fused_qkv_bwd_rule(n_heads, eps, cos_eps, tile, res, g):
 _fused_qkv_inner.defvjp(_fused_qkv_fwd_rule, _fused_qkv_bwd_rule)
 
 
-def preferred_qkv_tile(h, w, train=False):
+def preferred_qkv_tile(h, w):
     """Spatial tile for the fused prologue. Tile 32 quarters the program
     count and measured 110.8 -> 81.8 us at the flagship level-0 eval shape
     (64x64, d=128) and 57.7 -> 27.1 us at level 1 (32x32, d=256)

@@ -49,8 +49,12 @@ def main():
     channels = model_config["input_channels"]
     # fast sampler carry layouts (k_diffusion_tpu/layout.py): ITv2 uses the
     # token layout (patch boundaries become matmuls, zero relayout in the
-    # scan); other families use the folded (b, h, w*c) layout — both are
-    # bitwise-identical to NHWC sampling
+    # scan); other families use the folded (b, h, w*c) layout. The model
+    # computes the identical function on either carry; the folded layout is
+    # also seed-for-seed identical to NHWC (its noise draw is a flat
+    # reshape), while the token layout draws initial noise at token shape —
+    # a different permutation of the threefry bits, so samples for a given
+    # seed differ from the NHWC path (the distribution is unchanged).
     token_patch = (tuple(model_config["patch_size"])
                    if model_config["type"] == "image_transformer_v2" else None)
     if token_patch:

@@ -534,7 +534,9 @@ def main():
                 print(f"Saving to {filename}...")
             checkpoint.save_checkpoint_sharded(filename, state, host)
             if is_main:
-                checkpoint.write_state_json(args.name, filename)
+                # pointer update is deferred until the async save commits so
+                # a crash mid-save never strands auto-resume (advisor r4)
+                checkpoint.write_state_json_after_commit(args.name, filename)
             return
         if not is_main:
             return
