@@ -166,7 +166,10 @@ def bench_train(config, remat):
 
     key = jax.random.PRNGKey(0)
     b, inner = 32, 32
-    reals = jax.random.normal(key, (b, 256, 256, 3))
+    (ih, iw) = config["model"]["input_size"]
+    patch = tuple(config["model"]["patch_size"])
+    c = config["model"]["input_channels"]
+    reals = jax.random.normal(key, (b, ih, iw, c))
     variables = jax.jit(model.init)(key, reals[:1], jnp.ones([1]))
     params = variables["params"]
     opt = training.make_optimizer(config, itv2.param_group_labels(params))
@@ -181,7 +184,7 @@ def bench_train(config, remat):
             lambda x, s, **kw: model.apply({"params": params}, x, s,
                                            train=True, image_layout="tokens",
                                            rngs={"dropout": k_drop}, **kw))
-        reals_f = layout.to_tokens(reals, (4, 4))
+        reals_f = layout.to_tokens(reals, patch)
         noise = jax.random.normal(k_noise, reals_f.shape, reals_f.dtype)
         return jnp.mean(den.loss(reals_f, noise, sigma))
 
@@ -205,6 +208,78 @@ def bench_train(config, remat):
 
     dt = _median_time(run_once, n_iters=3) / inner
     return b / dt, dt, b
+
+
+def bench_shardmap():
+    """1-device-mesh shard_map train step vs the mesh-free step on the real
+    chip (invoked as ``python bench.py shardmap``; not part of the driver's
+    headline line). dp meshes MUST go through shard_map because GSPMD cannot
+    partition pallas_call — this mode certifies that lowering executes on
+    silicon and records its overhead (tests/test_shard_map_tpu.py asserts
+    the bit-equality side)."""
+    import contextlib
+
+    import numpy as np
+    from jax.sharding import Mesh
+
+    import __graft_entry__
+    from k_diffusion_tpu import config as config_mod, parallel, training
+    from k_diffusion_tpu.models import image_transformer_v2 as itv2
+
+    config = config_mod.load_config(__graft_entry__._flagship_config())
+    model = config_mod.make_model(config, dtype=jnp.bfloat16)
+    key = jax.random.PRNGKey(0)
+    b, steps = 32, 16
+    v = jax.jit(model.init)(
+        key, jax.random.normal(key, (1, 256, 256, 3)), jnp.ones([1]))
+    opt = training.make_optimizer(
+        config, itv2.param_group_labels(v["params"]))
+    batch = {"reals": jax.random.normal(key, (1, b, 256, 256, 3))}
+
+    def build(mesh):
+        params = jax.tree_util.tree_map(jnp.copy, v["params"])
+        state = training.TrainState(
+            step=jnp.int32(0), params=params, opt_state=opt.init(params),
+            ema_params=jax.tree_util.tree_map(jnp.copy, params))
+        step = training.make_train_step(
+            model, config_mod.make_denoiser_wrapper(config),
+            config_mod.make_sample_density(config["model"]), opt,
+            mesh=mesh, data_axis=parallel.DATA_AXIS, token_patch=(4, 4))
+        return state, step
+
+    results = {}
+    for name, mesh in (
+            ("meshfree", None),
+            ("shardmap_1dev",
+             Mesh(np.array(jax.devices()[:1]), (parallel.DATA_AXIS,)))):
+        state, step = build(mesh)
+        with (mesh if mesh is not None else contextlib.nullcontext()):
+            if mesh is not None:
+                # place state/batch under the mesh shardings up front —
+                # committed single-device inputs would otherwise be
+                # re-placed through the host on EVERY call (measured 96x)
+                state = parallel.replicate(state, mesh)
+                sharding = jax.sharding.NamedSharding(
+                    mesh, jax.sharding.PartitionSpec(
+                        None, parallel.DATA_AXIS))
+                batch = {k: jax.device_put(v_, sharding)
+                         for k, v_ in batch.items()}
+            state, m = step(state, batch, jax.random.fold_in(key, 0), 0.99)
+            float(m["loss"])  # fence the compile+first step (host readback)
+            t0 = time.time()
+            for i in range(steps):
+                state, m = step(state, batch,
+                                jax.random.fold_in(key, i + 1), 0.99)
+            float(m["loss"])  # fence
+            dt = (time.time() - t0) / steps
+        results[name] = round(b / dt, 1)
+
+    overhead = results["meshfree"] / results["shardmap_1dev"] - 1
+    print(json.dumps({
+        "metric": "train imgs/sec/chip: shard_map(1-dev mesh) vs mesh-free",
+        **results,
+        "shardmap_overhead_pct": round(100 * overhead, 2),
+    }))
 
 
 def main():
@@ -245,4 +320,9 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    import sys
+
+    if len(sys.argv) > 1 and sys.argv[1] == "shardmap":
+        bench_shardmap()
+    else:
+        main()

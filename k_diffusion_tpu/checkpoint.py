@@ -95,7 +95,9 @@ def save_checkpoint_sharded(path, state, host_state, async_save=True):
         ckptr.wait_until_finished()  # one in-flight save at a time
         _flush_pending_state_json()  # previous save has committed
     else:
-        ckptr = ocp.StandardCheckpointer()
+        # same handler as the async path (StandardCheckpointer.save has a
+        # different signature — no args=; caught by the dryrun roundtrip)
+        ckptr = ocp.Checkpointer(ocp.StandardCheckpointHandler())
     ckptr.save(path, args=ocp.args.StandardSave(
         serialization.to_state_dict(state)), force=True)
     if not async_save:

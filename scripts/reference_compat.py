@@ -43,8 +43,63 @@ def _deep_merge(base, head):
     return head
 
 
+def _na2d_starts(length, kernel_size):
+    """NATTEN clamped-window starts: query i's k-window begins at
+    clamp(i - (k-1)//2, 0, length - k), so edge queries see a full window
+    shifted inward (NATTEN's documented semantics; the same rule as this
+    repo's k_diffusion_tpu/ops/attention.py:neighborhood_mask_1d)."""
+    import torch
+
+    idx = torch.arange(length)
+    return (idx - (kernel_size - 1) // 2).clamp(0, max(length - kernel_size, 0))
+
+
+def _na2d_neighbors(t, kernel_size):
+    """Gather each (i, j)'s k x k clamped neighborhood from a
+    (n, heads, H, W, e) map -> (n, heads, H, k, W, k, e)."""
+    import torch
+
+    H, W = t.shape[2], t.shape[3]
+    ii = _na2d_starts(H, kernel_size)[:, None] + torch.arange(kernel_size)
+    jj = _na2d_starts(W, kernel_size)[:, None] + torch.arange(kernel_size)
+    return t[:, :, ii][:, :, :, :, jj]
+
+
+def _na2d_qk(q, k, kernel_size, *args, **kwargs):
+    """Naive einsum+gather equivalent of natten.functional.na2d_qk for the
+    reference's unfused call site (reference
+    k_diffusion/models/image_transformer_v2.py:431-443): q/k (n, heads, H, W,
+    e) -> logits (n, heads, H, W, k*k), neighbors row-major in (di, dj)."""
+    import torch
+
+    knbr = _na2d_neighbors(k, kernel_size)
+    logits = torch.einsum("ncije,nciajbe->ncijab", q, knbr)
+    n, c, H, W = logits.shape[:4]
+    return logits.reshape(n, c, H, W, kernel_size * kernel_size)
+
+
+def _na2d_av(a, v, kernel_size, *args, **kwargs):
+    """Naive counterpart of natten.functional.na2d_av: a (n, heads, H, W,
+    k*k) softmaxed weights, v (n, heads, H, W, e) -> (n, heads, H, W, e)."""
+    import torch
+
+    n, c, H, W = a.shape[:4]
+    a6 = a.reshape(n, c, H, W, kernel_size, kernel_size)
+    vnbr = _na2d_neighbors(v, kernel_size)
+    return torch.einsum("ncijab,nciajbe->ncije", a6, vnbr)
+
+
 def install_stubs():
     _stub("jsonmerge", merge=_deep_merge)
+
+    # natten: CUDA-only upstream. The stub implements the unfused
+    # na2d_qk/na2d_av contract with plain torch gather+einsum so the
+    # reference NeighborhoodSelfAttentionBlock runs on CPU — an
+    # *independent* implementation of the clamped-window semantics that the
+    # parity tests check this repo's NA blocks against end-to-end.
+    nat = _stub("natten", has_fused_na=lambda: False)
+    nat.functional = _stub(
+        "natten.functional", na2d_qk=_na2d_qk, na2d_av=_na2d_av)
 
     class _BrownianTree:  # never called in the parity paths
         def __init__(self, *args, **kwargs):
