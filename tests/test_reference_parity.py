@@ -446,6 +446,64 @@ def test_trajectory_parity_dpm_adaptive(mnist_ported):
     _assert_close(out, ref_out, rtol=2e-3, atol=2e-3)
 
 
+# Every fixed-step sampler is deterministic with churn 0 / eta 0 (the noise
+# term's coefficient is exactly zero), so the whole suite can be
+# trajectory-verified cross-framework through the same ported weights —
+# including dpmpp_2m_sde(eta=0, heun), the reference's demo/eval
+# configuration (reference train.py:362-363). The reference's SDE samplers
+# construct a torchsde BrownianTreeNoiseSampler unconditionally, so a zeros
+# noise_sampler is passed on the torch side (exact at eta=0); ours take a
+# PRNG key whose draws are multiplied by the same zero coefficient.
+_DETERMINISTIC_SAMPLERS = [
+    # (name, reference kwargs, our kwargs, needs_key)
+    ("sample_euler", {}, {}, False),
+    ("sample_heun", {}, {}, False),
+    ("sample_dpm_2", {}, {}, False),
+    ("sample_euler_ancestral", {"eta": 0.0}, {"eta": 0.0}, True),
+    ("sample_dpm_2_ancestral", {"eta": 0.0}, {"eta": 0.0}, True),
+    ("sample_dpmpp_2s_ancestral", {"eta": 0.0}, {"eta": 0.0}, True),
+    ("sample_dpmpp_sde", {"eta": 0.0}, {"eta": 0.0}, True),
+    ("sample_dpmpp_2m_sde", {"eta": 0.0, "solver_type": "midpoint"},
+     {"eta": 0.0, "solver_type": "midpoint"}, False),
+    ("sample_dpmpp_2m_sde", {"eta": 0.0, "solver_type": "heun"},
+     {"eta": 0.0, "solver_type": "heun"}, False),
+    ("sample_dpmpp_3m_sde", {"eta": 0.0}, {"eta": 0.0}, False),
+]
+
+
+@pytest.mark.parametrize(
+    "name,ref_kw,my_kw,needs_key",
+    _DETERMINISTIC_SAMPLERS,
+    ids=[f"{n}-{kw.get('solver_type', 'default')}"
+         for n, kw, _, _ in _DETERMINISTIC_SAMPLERS])
+def test_trajectory_parity_deterministic(mnist_ported, name, ref_kw, my_kw,
+                                         needs_key):
+    """10-step fixed-noise trajectory equality for every fixed-step sampler
+    in its deterministic configuration (churn 0 / eta 0), vs the reference
+    through the same ported weights (reference sampling.py:117-244,508-702)."""
+    import torch
+
+    ref_fn, my_fn, noise = mnist_ported
+    sigmas = np.asarray(
+        K.sampling.get_sigmas_karras(10, 1e-2, 80.0, rho=7.0), np.float32)
+    ref_k = load_reference()
+
+    if "eta" in ref_kw:  # reference SDE/ancestral paths want a noise sampler
+        ref_kw = dict(ref_kw,
+                      noise_sampler=lambda s, sn: torch.zeros_like(
+                          torch.from_numpy(noise)))
+    ref_out = getattr(ref_k.sampling, name)(
+        ref_fn, torch.from_numpy(noise) * float(sigmas[0]),
+        torch.from_numpy(sigmas.copy()), disable=True, **ref_kw)
+
+    if needs_key:
+        my_kw = dict(my_kw, key=jax.random.PRNGKey(0))
+    x_j = jnp.moveaxis(jnp.asarray(noise), 1, -1)
+    out = getattr(K.sampling, name)(
+        my_fn, x_j * float(sigmas[0]), jnp.asarray(sigmas), **my_kw)
+    _assert_close(out, ref_out, rtol=1e-3, atol=1e-3)
+
+
 def test_strip_prefix():
     sd = {"inner_model.a.weight": 1, "inner_model.b.bias": 2}
     assert strip_prefix(sd) == {"a.weight": 1, "b.bias": 2}
