@@ -72,6 +72,38 @@ def test_sharded_save_is_async_and_fencable(tmp_path):
         np.testing.assert_array_equal(np.asarray(s.step), np.asarray(sharded.step))
 
 
+def test_state_json_pointer_deferred_until_commit(tmp_path):
+    """The {name}_state.json pointer must keep referencing the last good
+    checkpoint until the in-flight async save commits — a crash mid-save
+    must leave auto-resume working (advisor r4; the reference never has the
+    window because its save is synchronous, reference train.py:419-421)."""
+    _, _, _, state = _tiny_state()
+    mesh = parallel.make_mesh()
+    sharded = _fsdp_shard(state, mesh)
+    name = tmp_path / "run"
+
+    p0 = checkpoint.save_checkpoint_sharded(tmp_path / "a.orbax", sharded, {"step": 1})
+    checkpoint.wait_for_checkpoints()
+    checkpoint.write_state_json(name, p0)
+
+    p1 = checkpoint.save_checkpoint_sharded(tmp_path / "b.orbax", sharded, {"step": 2})
+    checkpoint.write_state_json_after_commit(name, p1)
+    # deferred: still points at the last known-good checkpoint even though
+    # the new save is dispatched (and possibly already committed)
+    assert checkpoint.latest_checkpoint(name) == str(p0)
+
+    # the next save's fence commits b and flushes its pointer first
+    p2 = checkpoint.save_checkpoint_sharded(tmp_path / "c.orbax", sharded, {"step": 3})
+    assert checkpoint.latest_checkpoint(name) == str(p1)
+    checkpoint.write_state_json_after_commit(name, p2)
+
+    checkpoint.wait_for_checkpoints()
+    assert checkpoint.latest_checkpoint(name) == str(p2)
+    s, h = checkpoint.load_checkpoint_sharded(
+        checkpoint.latest_checkpoint(name), sharded)
+    assert h["step"] == 3
+
+
 def test_train_cli_orbax_resume_bit_identical(tmp_path, monkeypatch):
     """Straight 4-step run vs 2-step run + orbax resume to step 4: the
     step-4 checkpoints must be bit-identical (same params, opt state, EMA,
