@@ -84,9 +84,14 @@ def bench_sampling(config, model, params, key):
 
     @jax.jit
     def sample(params, xs, sigmas):
+        # precomputed-cond path (condcache.py): the mapping network and all
+        # per-layer AdaRMSNorm scale projections are hoisted out of the
+        # 50-step scan into one table (bit-identical, tests/test_condcache.py)
+        from k_diffusion_tpu import condcache
         den = Denoiser(
-            lambda xi, si, **kw: model.apply(
-                {"params": params}, xi, si, image_layout="tokens", **kw),
+            condcache.scheduled_inner_fn(model, {"params": params},
+                                         sigmas[:-1], batch,
+                                         image_layout="tokens"),
             sigma_data=config["model"]["sigma_data"])
         # steady-state throughput: `reps` consecutive batches per dispatch
         # (amortizes this environment's ~25 ms per-dispatch tunnel RPC,
@@ -129,9 +134,12 @@ def bench_512():
 
     @jax.jit
     def sample(params, xs, sigmas):
+        # precomputed-cond path (see bench_sampling)
+        from k_diffusion_tpu import condcache
         den = Denoiser(
-            lambda xi, si, **kw: model.apply(
-                {"params": params}, xi, si, image_layout="tokens", **kw),
+            condcache.scheduled_inner_fn(model, {"params": params},
+                                         sigmas[:-1], b,
+                                         image_layout="tokens"),
             sigma_data=mcfg["sigma_data"])
         # steady-state: `reps` batches per dispatch (see bench_sampling)
         out = jax.lax.map(

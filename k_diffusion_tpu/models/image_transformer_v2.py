@@ -85,6 +85,37 @@ class MappingSpec:
     dropout: float = 0.0
 
 
+def cond_scale_layout(levels):
+    """Lane layout of the precomputed cond-scales vector (condcache.py).
+
+    Every AdaRMSNorm scale the forward derives from the mapping cond —
+    one per attention block, one per FF block, in forward execution order
+    (down levels, mid, up levels) — is packed into a single (b, total)
+    vector so the whole table for a sigma schedule can be computed once
+    outside the sampler scan. Returns ``({layer_name: (attn_off, ff_off)},
+    total)`` with ``attn_off=None`` for no-attention layers. Every offset
+    is aligned UP to a multiple of its layer's width (padding lanes are
+    written but never read) so the fused kernels can always read their
+    scale as a static BlockSpec lane block — zero per-step ops.
+    """
+    seq = [(f"down_{i}", spec) for i, spec in enumerate(levels[:-1])]
+    seq.append(("mid", levels[-1]))
+    seq += [(f"up_{i}", spec)
+            for i, spec in reversed(list(enumerate(levels[:-1])))]
+    table, off = {}, 0
+    for prefix, spec in seq:
+        has_attn = not isinstance(spec.self_attn, NoAttentionSpec)
+        off = -(-off // spec.width) * spec.width  # align to width
+        for j in range(spec.depth):
+            attn_off = None
+            if has_attn:
+                attn_off = off
+                off += spec.width
+            table[f"{prefix}_layer_{j}"] = (attn_off, off)
+            off += spec.width
+    return table, off
+
+
 # Blocks
 
 
@@ -120,6 +151,11 @@ class SelfAttentionBlock(nn.Module):
     shifted: bool = False
     tp_axis: Any = None
     dtype: Any = jnp.float32
+    # lane offset into a PRECOMPUTED cond-scales vector (condcache.py):
+    # when set, `cond` is the step's full (b, total) AdaRMSNorm-scale table
+    # — proj(cond)+1 was hoisted out of the sampler scan — and this block
+    # takes its d_model-lane slice instead of running the projection.
+    scale_offset: Any = None
 
     @nn.compact
     def __call__(self, x, pos, cond, deterministic=True):
@@ -129,7 +165,6 @@ class SelfAttentionBlock(nn.Module):
         # kernels owned directly (at the same pytree paths the submodule
         # composition would use) so the fused and unfused prologues share
         # parameters and checkpoints
-        norm_kernel = _NormScaleParam(self.d_model, name="norm")(cond.shape[-1])
         w_qkv = _KernelParam((self.d_model, self.d_model * 3),
                              nn.initializers.lecun_normal(),
                              name="qkv_proj")()
@@ -137,7 +172,21 @@ class SelfAttentionBlock(nn.Module):
                              nn.initializers.zeros, name="out_proj")()
         scale = self.param("scale", nn.initializers.constant(10.0), (n_heads,))
 
-        norm_scale = cond.astype(self.dtype) @ norm_kernel.astype(self.dtype) + 1
+        scale_block = 0
+        if self.scale_offset is None:
+            norm_kernel = _NormScaleParam(self.d_model,
+                                          name="norm")(cond.shape[-1])
+            norm_scale = (cond.astype(self.dtype)
+                          @ norm_kernel.astype(self.dtype) + 1)
+        else:
+            scale_block, rem = divmod(self.scale_offset, self.d_model)
+            if rem:
+                norm_scale = jax.lax.slice_in_dim(
+                    cond, self.scale_offset, self.scale_offset + self.d_model,
+                    axis=-1)
+                scale_block = 0
+            else:
+                norm_scale = cond  # wide; kernels read their lane block
         from ..ops.pallas import train_fusion_enabled
         if not self.tp_axis and (deterministic or train_fusion_enabled()):
             # norm -> qkv matmul -> cosine-sim -> RoPE as one Pallas kernel
@@ -150,9 +199,13 @@ class SelfAttentionBlock(nn.Module):
             from ..ops.pallas.fused_qkv import preferred_qkv_tile
             qp, kp, vp = fused_qkv_prologue(
                 x, pos, norm_scale, w_qkv, scale, n_heads,
-                tile=preferred_qkv_tile(h, w))
+                tile=preferred_qkv_tile(h, w), scale_block=scale_block)
             q = k = v = None
         else:
+            if norm_scale.shape[-1] != self.d_model:
+                norm_scale = jax.lax.slice_in_dim(
+                    norm_scale, scale_block * self.d_model,
+                    (scale_block + 1) * self.d_model, axis=-1)
             xn = ops.rms_norm(x, norm_scale[:, None, None, :])
             qkv = xn @ w_qkv.astype(xn.dtype)
             qkv = qkv.reshape(b, h, w, 3, n_heads, self.d_head)
@@ -272,17 +325,30 @@ class FeedForwardBlock(nn.Module):
     dropout: float = 0.0
     tp_axis: Any = None
     dtype: Any = jnp.float32
+    scale_offset: Any = None  # see SelfAttentionBlock.scale_offset
 
     @nn.compact
     def __call__(self, x, cond, deterministic=True):
         skip = x
         b, hh, ww, d = x.shape
-        norm_kernel = _NormScaleParam(self.d_model, name="norm")(cond.shape[-1])
         w_up = _KernelParam((self.d_model, self.d_ff * 2),
                             nn.initializers.lecun_normal(), name="up_proj")()
         w_down = _KernelParam((self.d_ff, self.d_model),
                               nn.initializers.zeros, name="down_proj")()
-        scale = cond @ norm_kernel.astype(cond.dtype) + 1
+        scale_block = 0
+        if self.scale_offset is None:
+            norm_kernel = _NormScaleParam(self.d_model,
+                                          name="norm")(cond.shape[-1])
+            scale = cond @ norm_kernel.astype(cond.dtype) + 1
+        else:
+            scale_block, rem = divmod(self.scale_offset, self.d_model)
+            if rem:
+                scale = jax.lax.slice_in_dim(
+                    cond, self.scale_offset, self.scale_offset + self.d_model,
+                    axis=-1)
+                scale_block = 0
+            else:
+                scale = cond  # wide; the kernel reads its lane block
 
         t = hh * ww
         block = (1024 if t % 1024 == 0 else
@@ -307,9 +373,13 @@ class FeedForwardBlock(nn.Module):
             # skip (fewer op launches; see PERFORMANCE.md)
             from ..ops.pallas import fused_geglu_ffn
             out = fused_geglu_ffn(
-                x.reshape(b, t, d), scale, w_up, w_down, block=block)
+                x.reshape(b, t, d), scale, w_up, w_down, block=block,
+                scale_block=scale_block)
             return out.reshape(b, hh, ww, d)
 
+        if scale.shape[-1] != d:
+            scale = jax.lax.slice_in_dim(
+                scale, scale_block * d, (scale_block + 1) * d, axis=-1)
         x = ops.rms_norm(x, scale[:, None, None, :].astype(self.dtype))
         if self.tp_axis:
             # megatron-style: hidden dim sharded, down_proj reduces
@@ -337,6 +407,9 @@ class TransformerLayer(nn.Module):
     shifted: bool = False
     tp_axis: Any = None
     dtype: Any = jnp.float32
+    # precomputed cond-scales lane offsets (see SelfAttentionBlock)
+    attn_scale_offset: Any = None
+    ff_scale_offset: Any = None
 
     @nn.compact
     def __call__(self, x, pos, cond, deterministic=True):
@@ -345,9 +418,11 @@ class TransformerLayer(nn.Module):
                 self.d_model, self.self_attn.d_head, self.self_attn,
                 dropout=self.dropout, shifted=self.shifted,
                 tp_axis=self.tp_axis, dtype=self.dtype,
+                scale_offset=self.attn_scale_offset,
                 name="self_attn")(x, pos, cond, deterministic)
         x = FeedForwardBlock(self.d_model, self.d_ff, dropout=self.dropout,
                              tp_axis=self.tp_axis, dtype=self.dtype,
+                             scale_offset=self.ff_scale_offset,
                              name="ff")(x, cond, deterministic)
         return x
 
@@ -583,48 +658,66 @@ class ImageTransformerDenoiserModelV2(nn.Module):
 
     @nn.compact
     def __call__(self, x, sigma, aug_cond=None, class_cond=None,
-                 mapping_cond=None, train=False, image_layout="nhwc"):
-        if self.num_classes and class_cond is None:
+                 mapping_cond=None, train=False, image_layout="nhwc",
+                 cond_scales=None, cond_only=False):
+        if cond_scales is None and self.num_classes and class_cond is None:
             raise ValueError("class_cond must be specified if num_classes > 0")
-        if self.mapping_cond_dim and mapping_cond is None:
+        if cond_scales is None and self.mapping_cond_dim and mapping_cond is None:
             raise ValueError("mapping_cond must be specified if mapping_cond_dim > 0")
         deterministic = not train
         tokens = image_layout == "tokens"
-        x = x.astype(self.dtype)
 
-        # Patching. image_layout='tokens' takes (b, h/ph, w/pw, ph*pw*c)
-        # token arrays (layout.to_tokens) and makes both patch boundaries
-        # plain matmuls — zero relayout inside a sampler loop or train step
-        # (the gather/scatter happens ONCE outside). The folded-einsum image
-        # path wins for NHWC inference but its BACKWARD materializes
-        # lane-starved (ph, pw*c)-minor transposes (583 -> 572 imgs/sec
-        # measured), so NHWC training keeps the strided-conv formulation
-        # whose conv data-grad is cheap.
-        x = TokenMerge(self.levels[0].width, self.patch_size,
-                       dtype=self.dtype, name="patch_in")(
-            x, folded=deterministic, tokens=tokens)
-        pos = ops.make_axial_pos(x.shape[-3], x.shape[-2])
+        if not cond_only:
+            x = x.astype(self.dtype)
+            # Patching. image_layout='tokens' takes (b, h/ph, w/pw, ph*pw*c)
+            # token arrays (layout.to_tokens) and makes both patch boundaries
+            # plain matmuls — zero relayout inside a sampler loop or train
+            # step (the gather/scatter happens ONCE outside). The
+            # folded-einsum image path wins for NHWC inference but its
+            # BACKWARD materializes lane-starved (ph, pw*c)-minor transposes
+            # (583 -> 572 imgs/sec measured), so NHWC training keeps the
+            # strided-conv formulation whose conv data-grad is cheap.
+            x = TokenMerge(self.levels[0].width, self.patch_size,
+                           dtype=self.dtype, name="patch_in")(
+                x, folded=deterministic, tokens=tokens)
+            pos = ops.make_axial_pos(x.shape[-3], x.shape[-2])
 
-        # Mapping network
-        c_noise = jnp.log(sigma.astype(jnp.float32)) / 4
-        time_emb = nn.Dense(self.mapping.width, use_bias=False, dtype=self.dtype,
-                            name="time_in_proj")(
-            FourierFeatures(1, self.mapping.width, name="time_emb")(c_noise[..., None]))
-        if aug_cond is None:
-            aug_cond = jnp.zeros([x.shape[0], 9], self.dtype)
-        aug_emb = nn.Dense(self.mapping.width, use_bias=False, dtype=self.dtype,
-                           name="aug_in_proj")(
-            FourierFeatures(9, self.mapping.width, name="aug_emb")(aug_cond.astype(self.dtype)))
-        emb = time_emb + aug_emb
-        if self.num_classes:
-            emb = emb + nn.Embed(self.num_classes, self.mapping.width,
-                                 dtype=self.dtype, name="class_emb")(class_cond)
-        if self.mapping_cond_dim:
-            emb = emb + nn.Dense(self.mapping.width, use_bias=False, dtype=self.dtype,
-                                 name="mapping_cond_in_proj")(mapping_cond)
-        cond = MappingNetwork(self.mapping.depth, self.mapping.width,
-                              self.mapping.d_ff, dropout=self.mapping.dropout,
-                              dtype=self.dtype, name="mapping")(emb, deterministic)
+        scale_offsets = None
+        if cond_scales is None:
+            # Mapping network
+            c_noise = jnp.log(sigma.astype(jnp.float32)) / 4
+            time_emb = nn.Dense(self.mapping.width, use_bias=False, dtype=self.dtype,
+                                name="time_in_proj")(
+                FourierFeatures(1, self.mapping.width, name="time_emb")(c_noise[..., None]))
+            if aug_cond is None:
+                aug_cond = jnp.zeros([sigma.shape[0], 9], self.dtype)
+            aug_emb = nn.Dense(self.mapping.width, use_bias=False, dtype=self.dtype,
+                               name="aug_in_proj")(
+                FourierFeatures(9, self.mapping.width, name="aug_emb")(aug_cond.astype(self.dtype)))
+            emb = time_emb + aug_emb
+            if self.num_classes:
+                emb = emb + nn.Embed(self.num_classes, self.mapping.width,
+                                     dtype=self.dtype, name="class_emb")(class_cond)
+            if self.mapping_cond_dim:
+                emb = emb + nn.Dense(self.mapping.width, use_bias=False, dtype=self.dtype,
+                                     name="mapping_cond_in_proj")(mapping_cond)
+            cond = MappingNetwork(self.mapping.depth, self.mapping.width,
+                                  self.mapping.d_ff, dropout=self.mapping.dropout,
+                                  dtype=self.dtype, name="mapping")(emb, deterministic)
+            if cond_only:
+                # condcache.py: return the mapping output for table
+                # precompute, skipping the image path entirely
+                return cond
+        else:
+            # precomputed per-layer AdaRMSNorm scales (condcache.py): cond
+            # is the step's (b, total) scales vector; each layer takes a
+            # static lane block/slice instead of running proj(cond) + 1
+            scale_offsets, total = cond_scale_layout(self.levels)
+            if cond_scales.shape[-1] != total:
+                raise ValueError(
+                    f"cond_scales last dim {cond_scales.shape[-1]} != "
+                    f"layout total {total}")
+            cond = cond_scales.astype(self.dtype)
 
         layer_cls = TransformerLayer
         if self.checkpointing:
@@ -660,11 +753,16 @@ class ImageTransformerDenoiserModelV2(nn.Module):
             def run(x, pos):
                 for i in range(spec.depth):
                     shifted = (i + offset) % 2 == 1
+                    name = f"{prefix}_layer_{i}"
+                    a_off, f_off = (scale_offsets[name]
+                                    if scale_offsets is not None
+                                    else (None, None))
                     x = cls(
                         spec.width, spec.d_ff, spec.self_attn,
                         dropout=spec.dropout, shifted=shifted,
                         tp_axis=self.tp_axis, dtype=self.dtype,
-                        name=f"{prefix}_layer_{i}")(x, pos, cond, deterministic)
+                        attn_scale_offset=a_off, ff_scale_offset=f_off,
+                        name=name)(x, pos, cond, deterministic)
                 return x
             return run
 

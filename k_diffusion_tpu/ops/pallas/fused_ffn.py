@@ -62,7 +62,10 @@ def _ffn_kernel(x_ref, scale_ref, w_up_ref, w_down_ref, o_ref, *, eps, d_ff):
     o_ref[0] = (out + xf).astype(o_ref.dtype)
 
 
-def _ffn_fwd(x, scale, w_up, w_down, eps, block):
+def _ffn_fwd(x, scale, w_up, w_down, eps, block, scale_block=0):
+    # scale may be WIDER than d (a step's full precomputed cond-scales
+    # table, condcache.py); the kernel reads its (1, 1, d) block at lane
+    # offset scale_block*d straight out of it — no per-layer slice copies.
     b, t, d = x.shape
     d_ff = w_down.shape[0]
     grid = (b, pl.cdiv(t, block))
@@ -71,7 +74,7 @@ def _ffn_fwd(x, scale, w_up, w_down, eps, block):
         grid=grid,
         in_specs=[
             pl.BlockSpec((1, block, d), lambda i, j: (i, j, 0)),
-            pl.BlockSpec((1, 1, d), lambda i, j: (i, 0, 0)),
+            pl.BlockSpec((1, 1, d), lambda i, j: (i, 0, scale_block)),
             pl.BlockSpec((d, 2 * d_ff), lambda i, j: (0, 0)),
             pl.BlockSpec((d_ff, d), lambda i, j: (0, 0)),
         ],
@@ -228,15 +231,29 @@ def _fused_ffn_inner_bwd(eps, block, res, g):
 _fused_ffn_inner.defvjp(_fused_ffn_inner_fwd, _fused_ffn_inner_bwd)
 
 
-def fused_geglu_ffn(x, scale, w_up, w_down, eps=1e-6, block=TOKEN_BLOCK):
+def fused_geglu_ffn(x, scale, w_up, w_down, eps=1e-6, block=TOKEN_BLOCK,
+                    scale_block=0):
     """x: (b, tokens, d); scale: (b, d) AdaRMSNorm scale (proj(cond)+1);
-    w_up: (d, 2*d_ff); w_down: (d_ff, d). Returns x + FFN(norm(x))."""
+    w_up: (d, 2*d_ff); w_down: (d_ff, d). Returns x + FFN(norm(x)).
+
+    Precomputed-cond (eval-only) path: scale may be (b, T) with T > d — a
+    step's full cond-scales table (condcache.py) — with ``scale_block``
+    selecting this layer's d-lane block (lane offset scale_block*d). The
+    Pallas kernel reads the block directly via its BlockSpec; the fallback
+    slices. This path is forward-only (it bypasses the custom_vjp)."""
     from . import xla_forced
     b, t, d = x.shape
     d_ff = w_down.shape[0]
+    wide = scale.shape[-1] != d
     use_pallas = (jax.default_backend() == "tpu" and not xla_forced()
                   and t % block == 0 and d % 128 == 0 and d_ff % 128 == 0)
     if not use_pallas:
+        if wide:
+            scale = jax.lax.slice_in_dim(scale, scale_block * d,
+                                         scale_block * d + d, axis=-1)
         return _ffn_reference(x, scale, w_up, w_down, eps)
+    if wide:
+        return _ffn_fwd(x, scale, w_up.astype(x.dtype), w_down.astype(x.dtype),
+                        eps, block, scale_block)
     return _fused_ffn_inner(x, scale, w_up.astype(x.dtype),
                             w_down.astype(x.dtype), eps, block)

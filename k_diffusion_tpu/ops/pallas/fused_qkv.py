@@ -148,7 +148,11 @@ def _reference(x, pos, norm_scale, w_qkv, attn_scale, n_heads, eps, cos_eps):
             v.reshape(b, h, w, d))
 
 
-def _fused_fwd(x, norm_scale, w_qkv, attn_scale, n_heads, eps, cos_eps, tile):
+def _fused_fwd(x, norm_scale, w_qkv, attn_scale, n_heads, eps, cos_eps, tile,
+               scale_block=0):
+    # norm_scale may be WIDER than d (a step's full precomputed cond-scales
+    # table, condcache.py); the kernel reads its (1, 1, d) block at lane
+    # offset scale_block*d straight out of it — no per-layer slice copies.
     b, h, w, d = x.shape
     cos_t, sin_t = _rope_tables(h, w, n_heads, d // n_heads)
     grid = (b, h // tile, w // tile)
@@ -164,7 +168,7 @@ def _fused_fwd(x, norm_scale, w_qkv, attn_scale, n_heads, eps, cos_eps, tile):
         grid=grid,
         in_specs=[
             pl.BlockSpec((1, tile, tile, d), lambda i, j, l: (i, j, l, 0)),
-            pl.BlockSpec((1, 1, d), lambda i, j, l: (i, 0, 0)),
+            pl.BlockSpec((1, 1, d), lambda i, j, l: (i, 0, scale_block)),
             pl.BlockSpec((d, 3 * d), lambda i, j, l: (0, 0)),
             pl.BlockSpec((1, d), lambda i, j, l: (0, 0)),
             pl.BlockSpec((tile, tile, d), lambda i, j, l: (j, l, 0)),
@@ -426,19 +430,33 @@ def preferred_qkv_tile(h, w):
 
 
 def fused_qkv_prologue(x, pos, norm_scale, w_qkv, attn_scale, n_heads,
-                       eps=1e-6, cos_eps=1e-6, tile=TOKEN_TILE):
+                       eps=1e-6, cos_eps=1e-6, tile=TOKEN_TILE,
+                       scale_block=0):
     """x (b,h,w,d); pos (h,w,2) axial positions (used by the XLA fallback;
     the kernel rebuilds the identical grid host-side); norm_scale (b,d) =
     AdaRMSNorm proj(cond) + 1; w_qkv (d, 3d); attn_scale (heads,) learned
     cosine-sim scale. Returns (q, k, v), each (b, h, w, d) head-major
-    packed, with cosine-sim scaling and RoPE already applied to q and k."""
+    packed, with cosine-sim scaling and RoPE already applied to q and k.
+
+    Precomputed-cond (eval-only) path: norm_scale may be (b, T) with T > d —
+    a step's full cond-scales table (condcache.py) — with ``scale_block``
+    selecting this layer's d-lane block (lane offset scale_block*d). The
+    kernel reads the block directly via its BlockSpec; the fallback slices.
+    This path is forward-only (it bypasses the custom_vjp)."""
     b, h, w, d = x.shape
     e = d // n_heads
+    wide = norm_scale.shape[-1] != d
     from . import xla_forced
     ok = (jax.default_backend() == "tpu" and h % tile == 0 and w % tile == 0
           and d % 128 == 0 and e == 64)
     if not ok or xla_forced():
+        if wide:
+            norm_scale = jax.lax.slice_in_dim(
+                norm_scale, scale_block * d, scale_block * d + d, axis=-1)
         return _reference(x, pos, norm_scale, w_qkv, attn_scale, n_heads,
                           eps, cos_eps)
+    if wide:
+        return _fused_fwd(x, norm_scale, w_qkv, attn_scale, n_heads,
+                          eps, cos_eps, tile, scale_block)
     return _fused_qkv_inner(x, pos, norm_scale, w_qkv, attn_scale, n_heads,
                             eps, cos_eps, tile)

@@ -73,6 +73,16 @@ def main():
     key = jax.random.PRNGKey(args.seed)
     num_classes = config["dataset"].get("num_classes", 0)
 
+    # samplers that evaluate the model ONLY at schedule sigmas (no churn,
+    # no mid-interval stages) are eligible for the precomputed-cond fast
+    # path (K.condcache): mapping network + all AdaRMSNorm scale
+    # projections hoisted out of the sampling scan, bit-identical
+    # (tests/test_condcache.py)
+    schedule_point_samplers = {"lms", "euler", "euler_ancestral",
+                               "dpmpp_2m", "dpmpp_2m_sde", "dpmpp_3m_sde"}
+    use_condcache = (token_patch is not None
+                     and args.sampler in schedule_point_samplers)
+
     def sample_fn(n):
         nonlocal key
         key, k_noise, k_cls, k_samp = jax.random.split(key, 4)
@@ -89,8 +99,19 @@ def main():
             # sample.py predates class-conditional checkpoints)
             extra["class_cond"] = jax.random.randint(
                 k_cls, [args.batch_size], 0, num_classes)
-        x_0 = K.sampling.call_sampler(
-            args.sampler, denoiser, x, sigmas, extra_args=extra, key=k_samp)
+        if use_condcache:
+            # class_cond is baked into the cond table, so the sampler gets
+            # no extra_args
+            inner = K.condcache.scheduled_inner_fn(
+                model, {"params": params}, sigmas[:-1], args.batch_size,
+                image_layout="tokens", class_cond=extra.get("class_cond"))
+            den = K.Denoiser(inner, sigma_data=model_config["sigma_data"])
+            x_0 = K.sampling.call_sampler(
+                args.sampler, den, x, sigmas, extra_args={}, key=k_samp)
+        else:
+            x_0 = K.sampling.call_sampler(
+                args.sampler, denoiser, x, sigmas, extra_args=extra,
+                key=k_samp)
         if token_patch:
             return K.layout.from_tokens(x_0[:n], token_patch, channels)
         return K.layout.unfold_images(x_0[:n], channels)

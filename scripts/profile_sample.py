@@ -24,6 +24,8 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--batch", type=int, default=8)
     ap.add_argument("--top", type=int, default=30)
+    ap.add_argument("--condcache", action="store_true",
+                    help="trace the precomputed-cond path bench.py uses")
     args = ap.parse_args()
 
     import __graft_entry__
@@ -43,10 +45,15 @@ def main():
 
     @jax.jit
     def sample(params, x, sigmas):
-        den = Denoiser(
-            lambda xi, si, **kw: model.apply(
-                {"params": params}, xi, si, image_layout="tokens", **kw),
-            sigma_data=mcfg["sigma_data"])
+        if args.condcache:
+            from k_diffusion_tpu import condcache
+            inner = condcache.scheduled_inner_fn(
+                model, {"params": params}, sigmas[:-1], b,
+                image_layout="tokens")
+        else:
+            inner = lambda xi, si, **kw: model.apply(
+                {"params": params}, xi, si, image_layout="tokens", **kw)
+        den = Denoiser(inner, sigma_data=mcfg["sigma_data"])
         return layout.from_tokens(sampling.sample_dpmpp_2m(den, x, sigmas), (4, 4), 3)
 
     def run():
