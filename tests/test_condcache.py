@@ -145,6 +145,42 @@ def test_scheduled_sampler_bit_identical_class_cond_tokens():
     np.testing.assert_array_equal(np.asarray(ref), np.asarray(got))
 
 
+requires_tpu = pytest.mark.skipif(
+    jax.default_backend() != "tpu", reason="needs TPU for Mosaic kernels")
+
+
+@requires_tpu
+def test_scheduled_tpu_wide_blockspec_bit_identical():
+    """On the chip the scheduled path feeds the fused Pallas kernels the
+    step's FULL scales row, read via a static BlockSpec lane offset — this
+    asserts that kernel path is bit-identical to the per-step projections
+    at flagship-like geometry (d=128/256, d_head=64, 32x32 level-0)."""
+    model = itv2.ImageTransformerDenoiserModelV2(
+        levels=(
+            itv2.LevelSpec(1, 128, 256,
+                           itv2.NeighborhoodAttentionSpec(64, 7), 0.0),
+            itv2.LevelSpec(1, 256, 512, itv2.GlobalAttentionSpec(64), 0.0),
+        ),
+        mapping=itv2.MappingSpec(1, 128, 256, 0.0),
+        in_channels=3, out_channels=3, patch_size=(4, 4),
+        dtype=jnp.bfloat16)
+    key = jax.random.PRNGKey(3)
+    b = 2
+    x = jax.random.normal(key, (b, 128, 128, 3))
+    params = randomized_params(model, key, x, jnp.ones((b,)))
+    variables = {"params": params}
+
+    sigmas = sampling.get_sigmas_karras(5, 1e-2, 80.0)
+    inner = condcache.scheduled_inner_fn(model, variables, sigmas[:-1], b)
+    plain = jax.jit(lambda xi, si: model.apply(variables, xi, si))
+    sched = jax.jit(inner)
+    for s in np.asarray(sigmas[:-1])[:2]:
+        sig = jnp.full((b,), s, jnp.float32)
+        ref = np.asarray(plain(x, sig))
+        got = np.asarray(sched(x, sig))
+        np.testing.assert_array_equal(ref, got, err_msg=f"sigma={s}")
+
+
 def test_scheduled_bf16_bit_identical():
     """The bench/flagship dtype: bf16 compute — the dtype chain of the
     hoisted projections must match the in-layer sites exactly."""
