@@ -4,9 +4,10 @@ Everything the hourglass DiT derives from its conditioning inputs — the
 mapping network cond = mapping(time_emb + aug_emb + class_emb) and every
 layer's AdaRMSNorm scale projection ``proj(cond) + 1`` — is step-invariant
 once the sampler's sigma schedule is fixed. Left in place, that work runs
-inside the 50-step sampling scan as ~25 tiny XLA fusions per step (~13% of
-device time in the r5 xplane trace, PERFORMANCE.md) whose cost is per-op
-launch/latency, not FLOPs.
+inside the 50-step sampling scan as ~25 tiny XLA fusions per step whose
+cost is per-op launch/latency, not FLOPs (measured +1.4% flagship sampling
+throughput when hoisted — the ops are tiny and partially hidden under
+kernel dispatch; see the corrected r5 trace table in PERFORMANCE.md).
 
 This module hoists all of it out of the scan:
 
