@@ -78,7 +78,9 @@ def main():
     # path (K.condcache): mapping network + all AdaRMSNorm scale
     # projections hoisted out of the sampling scan, bit-identical
     # (tests/test_condcache.py)
-    schedule_point_samplers = {"lms", "euler", "euler_ancestral",
+    # heun's second stage evaluates at sigmas[i+1] — a schedule point, and
+    # the terminal sigma=0 eval is select-discarded in both paths
+    schedule_point_samplers = {"lms", "euler", "euler_ancestral", "heun",
                                "dpmpp_2m", "dpmpp_2m_sde", "dpmpp_3m_sde"}
     use_condcache = (token_patch is not None
                      and args.sampler in schedule_point_samplers)

@@ -145,6 +145,35 @@ def test_scheduled_sampler_bit_identical_class_cond_tokens():
     np.testing.assert_array_equal(np.asarray(ref), np.asarray(got))
 
 
+@pytest.mark.parametrize("sampler", ["heun", "dpmpp_2m_sde", "lms"])
+def test_scheduled_whitelist_samplers_bit_identical(sampler):
+    """Every sampler sample.py whitelists for the precomputed-cond path must
+    produce bit-identical trajectories (heun's discarded terminal-sigma eval
+    included)."""
+    model = tiny_model("global")
+    key = jax.random.PRNGKey(4)
+    b = 2
+    x_img = jax.random.normal(key, (b, 16, 16, 3))
+    params = randomized_params(model, key, x_img, jnp.ones((b,)))
+    variables = {"params": params}
+
+    sigmas = sampling.get_sigmas_karras(6, 1e-2, 80.0)
+    x0 = jax.random.normal(jax.random.fold_in(key, 5), (b, 16, 16, 3)) * 80.0
+    k_samp = jax.random.PRNGKey(6)
+
+    def plain_inner(xi, si, **kw):
+        return model.apply(variables, xi, si, **kw)
+
+    sched_inner = condcache.scheduled_inner_fn(model, variables, sigmas[:-1], b)
+
+    outs = []
+    for inner in (plain_inner, sched_inner):
+        den = Denoiser(inner, sigma_data=0.5)
+        outs.append(np.asarray(sampling.call_sampler(
+            sampler, den, x0, sigmas, key=k_samp)))
+    np.testing.assert_array_equal(outs[0], outs[1])
+
+
 requires_tpu = pytest.mark.skipif(
     jax.default_backend() != "tpu", reason="needs TPU for Mosaic kernels")
 
